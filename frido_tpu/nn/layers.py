@@ -1,0 +1,220 @@
+"""Primitive layers with exact torch semantics, NHWC layout.
+
+Parameter shapes are chosen for TPU friendliness; the torch importer
+(``frido_tpu.io.torch_import``) performs the OIHW->HWIO style conversions:
+
+* ``Conv2d.kernel``  [kH, kW, Cin, Cout]  <- torch [Cout, Cin, kH, kW]
+* ``Conv1d.kernel``  [k, Cin, Cout]       <- torch [Cout, Cin, k]
+* ``Dense.kernel``   [in, out]            <- torch [out, in] (transposed)
+* ``ConvTranspose2d.kernel_t`` [kH, kW, Cin, Cout]
+  <- torch [Cin, Cout, kH, kW] spatially flipped (see class docstring)
+* norm layers use ``scale``/``bias``; ``Embed`` uses ``embedding``
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from frido_tpu.ops.norm import group_norm
+
+Dtype = Any
+
+
+def silu(x: jnp.ndarray) -> jnp.ndarray:
+    """swish / SiLU — the reference's ``nonlinearity``."""
+    return x * jax.nn.sigmoid(x)
+
+
+class Conv2d(nn.Module):
+    """torch-style Conv2d on NHWC input.
+
+    ``padding`` is the symmetric int padding of torch; ``stride`` likewise.
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int | Sequence[tuple[int, int]] = 0
+    use_bias: bool = True
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),
+            (k, k, cin, self.features),
+        )
+        if isinstance(self.padding, int):
+            pad = [(self.padding, self.padding)] * 2
+        else:
+            pad = list(self.padding)
+        dtype = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            window_strides=(self.stride, self.stride),
+            padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(dtype)
+        return y
+
+
+class Conv1d(nn.Module):
+    """torch-style Conv1d on (N, T, C) input (torch uses (N, C, T))."""
+
+    features: int
+    kernel_size: int = 1
+    padding: int = 0
+    use_bias: bool = True
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),
+            (k, cin, self.features),
+        )
+        dtype = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            window_strides=(1,),
+            padding=[(self.padding, self.padding)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(dtype)
+        return y
+
+
+class ConvTranspose2d(nn.Module):
+    """torch-style ConvTranspose2d (kernel k, stride s, padding p) on NHWC.
+
+    Implemented as an input-dilated convolution:
+    ``kernel_t[h, w, ci, co] = W_torch[ci, co, kH-1-h, kW-1-w]``,
+    lhs_dilation = stride, padding = k - 1 - p per side.
+
+    Used by the MS-VQGAN cross-scale ``upsample`` heads
+    (``/root/reference/taming/models/msvqgan.py:82-84``: k=4, s=2, p=1).
+    """
+
+    features: int
+    kernel_size: int = 4
+    stride: int = 2
+    padding: int = 1
+    use_bias: bool = True
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel_t",
+            nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),
+            (k, k, cin, self.features),
+        )
+        pad = k - 1 - self.padding
+        dtype = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            window_strides=(1, 1),
+            padding=[(pad, pad)] * 2,
+            lhs_dilation=(self.stride, self.stride),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(dtype)
+        return y
+
+
+class Dense(nn.Module):
+    """torch-style Linear; kernel stored [in, out]."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),
+            (cin, self.features),
+        )
+        dtype = self.dtype or x.dtype
+        y = jnp.dot(x.astype(dtype), kernel.astype(dtype),
+                    preferred_element_type=dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(dtype)
+        return y
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm over the channel (last) axis; fp32 compute.
+
+    ``eps=1e-6`` for the taming ``Normalize`` convention; pass ``eps=1e-5``
+    for the guided-diffusion ``GroupNorm32`` convention.
+    """
+
+    num_groups: int = 32
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return group_norm(x, scale, bias, num_groups=self.num_groups, eps=self.eps)
+
+
+class LayerNorm(nn.Module):
+    """torch-style LayerNorm over the last axis (eps=1e-5), fp32 compute."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        orig = x.dtype
+        x32 = x.astype(jnp.float32)
+        mean = x32.mean(axis=-1, keepdims=True)
+        var = x32.var(axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * scale + bias
+        return y.astype(orig)
+
+
+class Embed(nn.Module):
+    """torch-style Embedding; param ``embedding`` of shape [num, dim]."""
+
+    num_embeddings: int
+    features: int
+
+    @nn.compact
+    def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
+        table = self.param(
+            "embedding", nn.initializers.normal(0.02),
+            (self.num_embeddings, self.features),
+        )
+        return jnp.take(table, ids, axis=0)

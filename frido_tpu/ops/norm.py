@@ -1,0 +1,47 @@
+"""GroupNorm with torch-matching semantics on NHWC tensors.
+
+Two epsilon conventions coexist in the reference and both matter for
+checkpoint fidelity:
+
+* taming/CompVis ``Normalize`` -> ``nn.GroupNorm(32, C, eps=1e-6)``
+  (``/root/reference/taming/modules/diffusionmodules/model.py:34-35``)
+* guided-diffusion ``normalization`` -> ``GroupNorm32(32, C)`` with the torch
+  default ``eps=1e-5`` and an fp32 compute cast
+  (``/root/reference/frido/modules/diffusionmodules/util.py:199-216``)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def group_norm(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    num_groups: int = 32,
+    eps: float = 1e-6,
+    cast_fp32: bool = True,
+) -> jnp.ndarray:
+    """Normalize an NHWC (or N...C) tensor over (spatial, group-channel) dims.
+
+    ``cast_fp32=True`` reproduces GroupNorm32's ``x.float()`` upcast so bf16
+    activations are normalized in fp32 and cast back.
+    """
+    orig_dtype = x.dtype
+    if cast_fp32:
+        x = x.astype(jnp.float32)
+    shape = x.shape
+    c = shape[-1]
+    assert c % num_groups == 0, f"channels {c} not divisible by groups {num_groups}"
+    group_shape = shape[:-1] + (num_groups, c // num_groups)
+    xg = x.reshape(group_shape)
+    # reduce over all dims except batch and group
+    axes = tuple(range(1, len(group_shape) - 2)) + (len(group_shape) - 1,)
+    mean = xg.mean(axis=axes, keepdims=True)
+    var = xg.var(axis=axes, keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    x = xg.reshape(shape)
+    x = x * scale.astype(x.dtype) + bias.astype(x.dtype)
+    return x.astype(orig_dtype) if cast_fp32 else x

@@ -1,0 +1,48 @@
+"""Vector-quantization codebook lookup.
+
+The hot op of the MS-VQGAN first stage
+(``/root/reference/taming/modules/vqvae/quantize.py:267-308``): for every
+latent vector find the nearest codebook entry by L2 distance and gather it.
+
+The distance matrix ``|z|^2 + |e|^2 - 2 z.e^T`` is a single [N, D] x [D, K]
+matmul — ideal MXU work — so the XLA formulation below is already
+near-optimal on TPU; a fused Pallas variant (distance + argmin + gather in
+VMEM, no [N, K] HBM round-trip) lives in ``frido_tpu.ops.pallas.vq_pallas``
+and is selected automatically for large N*K.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def vq_distances(z_flat: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
+    """Squared L2 distances [N, K] between z [N, D] and codebook [K, D]."""
+    z32 = z_flat.astype(jnp.float32)
+    e32 = codebook.astype(jnp.float32)
+    d = (
+        jnp.sum(z32**2, axis=1, keepdims=True)
+        + jnp.sum(e32**2, axis=1)[None, :]
+        - 2.0 * jnp.dot(z32, e32.T, preferred_element_type=jnp.float32)
+    )
+    return d
+
+
+def vq_lookup(z: jnp.ndarray, codebook: jnp.ndarray):
+    """Nearest-codebook quantization of an NHWC latent.
+
+    Args:
+      z: [..., D] latent (typically [B, H, W, D]).
+      codebook: [K, D] embedding table.
+
+    Returns:
+      (z_q, indices): quantized latent of z's shape and int32 indices of
+      shape z.shape[:-1].
+    """
+    d = z.shape[-1]
+    lead = z.shape[:-1]
+    z_flat = z.reshape(-1, d)
+    dist = vq_distances(z_flat, codebook)
+    idx = jnp.argmin(dist, axis=1)
+    z_q = jnp.take(codebook, idx, axis=0).astype(z.dtype)
+    return z_q.reshape(z.shape), idx.reshape(lead).astype(jnp.int32)

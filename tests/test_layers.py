@@ -1,0 +1,156 @@
+"""Primitive-layer golden tests vs torch functional ops.
+
+These pin down the exact conversion semantics the checkpoint importer relies
+on (conv weight layouts, groupnorm eps conventions, transposed-conv padding,
+nearest/avg-pool resampling).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+from frido_tpu.io.torch_import import convert_leaf, flax_path_to_torch_key  # noqa: E402
+from frido_tpu.nn.layers import (  # noqa: E402
+    Conv1d,
+    Conv2d,
+    ConvTranspose2d,
+    Dense,
+    GroupNorm,
+    LayerNorm,
+)
+from frido_tpu.ops.image import (  # noqa: E402
+    avg_pool_2x,
+    interpolate_nearest,
+    interpolate_nearest_2x,
+    pad_nhwc,
+)
+
+RNG = np.random.RandomState(0)
+
+
+def t2j_nhwc(x_nchw: np.ndarray) -> jnp.ndarray:
+    return jnp.asarray(x_nchw.transpose(0, 2, 3, 1))
+
+
+def j2t_nchw(y: jnp.ndarray) -> np.ndarray:
+    return np.asarray(y).transpose(0, 3, 1, 2)
+
+
+def test_conv2d_matches_torch():
+    x = RNG.randn(2, 5, 9, 9).astype(np.float32)
+    w = RNG.randn(7, 5, 3, 3).astype(np.float32)
+    b = RNG.randn(7).astype(np.float32)
+    ref = F.conv2d(torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b),
+                   stride=1, padding=1).numpy()
+    params = {"params": {"kernel": convert_leaf(w, "kernel"), "bias": b}}
+    y = Conv2d(features=7, kernel_size=3, padding=1).apply(params, t2j_nhwc(x))
+    np.testing.assert_allclose(j2t_nchw(y), ref, atol=2e-5)
+
+
+def test_conv2d_stride2_asymmetric_pad():
+    # taming Downsample: F.pad(x, (0,1,0,1)) then conv stride 2 pad 0
+    x = RNG.randn(1, 4, 8, 8).astype(np.float32)
+    w = RNG.randn(4, 4, 3, 3).astype(np.float32)
+    b = np.zeros(4, np.float32)
+    ref = F.conv2d(F.pad(torch.from_numpy(x), (0, 1, 0, 1)), torch.from_numpy(w),
+                   torch.from_numpy(b), stride=2).numpy()
+    params = {"params": {"kernel": convert_leaf(w, "kernel"), "bias": b}}
+    xj = pad_nhwc(t2j_nhwc(x), (0, 1), (0, 1))
+    y = Conv2d(features=4, kernel_size=3, stride=2, padding=0).apply(params, xj)
+    np.testing.assert_allclose(j2t_nchw(y), ref, atol=2e-5)
+
+
+def test_conv_transpose2d_matches_torch():
+    # msvqgan.upsample: ConvTranspose2d(C, C, 4, stride=2, padding=1)
+    x = RNG.randn(2, 4, 6, 6).astype(np.float32)
+    w = RNG.randn(4, 4, 4, 4).astype(np.float32)  # [Cin, Cout, kH, kW]
+    b = RNG.randn(4).astype(np.float32)
+    ref = F.conv_transpose2d(torch.from_numpy(x), torch.from_numpy(w),
+                             torch.from_numpy(b), stride=2, padding=1).numpy()
+    params = {"params": {"kernel_t": convert_leaf(w, "kernel_t"), "bias": b}}
+    y = ConvTranspose2d(features=4, kernel_size=4, stride=2, padding=1).apply(
+        params, t2j_nhwc(x))
+    assert y.shape == (2, 12, 12, 4)
+    np.testing.assert_allclose(j2t_nchw(y), ref, atol=2e-5)
+
+
+def test_conv1d_matches_torch():
+    x = RNG.randn(2, 6, 10).astype(np.float32)  # N, C, T
+    w = RNG.randn(18, 6, 1).astype(np.float32)
+    b = RNG.randn(18).astype(np.float32)
+    ref = F.conv1d(torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b)).numpy()
+    params = {"params": {"kernel": convert_leaf(w, "kernel"), "bias": b}}
+    y = Conv1d(features=18, kernel_size=1).apply(params, jnp.asarray(x.transpose(0, 2, 1)))
+    np.testing.assert_allclose(np.asarray(y).transpose(0, 2, 1), ref, atol=2e-5)
+
+
+def test_dense_matches_torch():
+    x = RNG.randn(3, 11).astype(np.float32)
+    w = RNG.randn(7, 11).astype(np.float32)
+    b = RNG.randn(7).astype(np.float32)
+    ref = F.linear(torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b)).numpy()
+    params = {"params": {"kernel": convert_leaf(w, "kernel"), "bias": b}}
+    y = Dense(features=7).apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), ref, atol=2e-5)
+
+
+@pytest.mark.parametrize("eps", [1e-6, 1e-5])
+def test_groupnorm_matches_torch(eps):
+    x = RNG.randn(2, 64, 4, 4).astype(np.float32)
+    w = RNG.randn(64).astype(np.float32)
+    b = RNG.randn(64).astype(np.float32)
+    ref = F.group_norm(torch.from_numpy(x), 32, torch.from_numpy(w),
+                       torch.from_numpy(b), eps=eps).numpy()
+    params = {"params": {"scale": w, "bias": b}}
+    y = GroupNorm(num_groups=32, eps=eps).apply(params, t2j_nhwc(x))
+    np.testing.assert_allclose(j2t_nchw(y), ref, atol=2e-5)
+
+
+def test_layernorm_matches_torch():
+    x = RNG.randn(2, 5, 16).astype(np.float32)
+    w = RNG.randn(16).astype(np.float32)
+    b = RNG.randn(16).astype(np.float32)
+    ref = F.layer_norm(torch.from_numpy(x), (16,), torch.from_numpy(w),
+                       torch.from_numpy(b)).numpy()
+    params = {"params": {"scale": w, "bias": b}}
+    y = LayerNorm().apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), ref, atol=2e-5)
+
+
+def test_nearest_2x_matches_torch():
+    x = RNG.randn(1, 3, 5, 5).astype(np.float32)
+    ref = F.interpolate(torch.from_numpy(x), scale_factor=2, mode="nearest").numpy()
+    y = interpolate_nearest_2x(t2j_nhwc(x))
+    np.testing.assert_array_equal(j2t_nchw(y), ref)
+
+
+@pytest.mark.parametrize("size", [(8, 8), (16, 16), (7, 5)])
+def test_nearest_resize_matches_torch(size):
+    x = RNG.randn(1, 3, 4, 6).astype(np.float32)
+    ref = F.interpolate(torch.from_numpy(x), size=size, mode="nearest").numpy()
+    y = interpolate_nearest(t2j_nhwc(x), size)
+    np.testing.assert_array_equal(j2t_nchw(y), ref)
+
+
+def test_avg_pool_2x_matches_torch():
+    x = RNG.randn(2, 3, 8, 8).astype(np.float32)
+    ref = F.avg_pool2d(torch.from_numpy(x), 2, 2).numpy()
+    y = avg_pool_2x(t2j_nhwc(x))
+    np.testing.assert_allclose(j2t_nchw(y), ref, atol=1e-6)
+
+
+def test_path_to_torch_key():
+    assert flax_path_to_torch_key(("conv_in", "kernel")) == "conv_in.weight"
+    assert (
+        flax_path_to_torch_key(("down__0__block__1", "norm1", "scale"))
+        == "down.0.block.1.norm1.weight"
+    )
+    assert (
+        flax_path_to_torch_key(("mid", "block_1", "conv1", "bias"))
+        == "mid.block_1.conv1.bias"
+    )
+    assert flax_path_to_torch_key(("token_emb", "embedding")) == "token_emb.weight"

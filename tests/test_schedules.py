@@ -1,0 +1,79 @@
+"""Schedule math golden tests vs the reference numpy/torch formulas."""
+
+import numpy as np
+import pytest
+
+from frido_tpu.schedules import (
+    DDIMSchedule,
+    DiffusionSchedule,
+    make_beta_schedule,
+    make_ddim_timesteps,
+)
+from tests.conftest import requires_reference
+
+
+def test_linear_betas_shape_and_range():
+    betas = make_beta_schedule("linear", 1000, 0.0015, 0.0155)
+    assert betas.shape == (1000,)
+    assert betas[0] == pytest.approx(0.0015)
+    assert betas[-1] == pytest.approx(0.0155)
+    assert np.all(np.diff(betas) > 0)
+
+
+def test_schedule_buffers_consistency():
+    s = DiffusionSchedule.create(
+        beta_schedule="linear", timesteps=1000,
+        linear_start=0.0015, linear_end=0.0155,
+    )
+    np.testing.assert_allclose(
+        s.sqrt_alphas_cumprod**2 + s.sqrt_one_minus_alphas_cumprod**2,
+        np.ones(1000),
+        atol=1e-5,
+    )
+    assert s.alphas_cumprod_prev[0] == 1.0
+    assert s.lvlb_weights[0] == s.lvlb_weights[1]
+    assert np.all(np.isfinite(s.posterior_log_variance_clipped))
+
+
+def test_ddim_timesteps_uniform():
+    ts = make_ddim_timesteps("uniform", 200, 1000)
+    assert ts.shape == (200,)
+    assert ts[0] == 1
+    assert ts[-1] == 996
+    assert np.all(np.diff(ts) == 5)
+
+
+def test_ddim_schedule_eta_zero_sigmas():
+    base = DiffusionSchedule.create(timesteps=1000, linear_start=0.0015, linear_end=0.0155)
+    dd = DDIMSchedule.create(base, 50, eta=0.0)
+    assert np.all(dd.sigmas == 0)
+    assert dd.alphas_prev[0] == base.alphas_cumprod[0]
+
+
+@requires_reference
+def test_betas_match_reference(reference_path):
+    torch = pytest.importorskip("torch")  # noqa: F841
+    from frido.modules.diffusionmodules.util import (
+        make_beta_schedule as ref_betas,
+        make_ddim_sampling_parameters as ref_params,
+        make_ddim_timesteps as ref_ts,
+    )
+
+    for sched in ["linear", "cosine", "sqrt_linear", "sqrt"]:
+        ours = make_beta_schedule(sched, 100, 0.0015, 0.0155)
+        ref = ref_betas(sched, 100, linear_start=0.0015, linear_end=0.0155)
+        np.testing.assert_allclose(ours, ref, rtol=1e-12)
+
+    ts_ref = ref_ts("uniform", 200, 1000, verbose=False)
+    np.testing.assert_array_equal(make_ddim_timesteps("uniform", 200, 1000), ts_ref)
+
+    base = DiffusionSchedule.create(timesteps=1000, linear_start=0.0015, linear_end=0.0155)
+    for eta in [0.0, 1.0]:
+        dd = DDIMSchedule.create(base, 50, eta=eta)
+        sig, al, alp = ref_params(
+            np.asarray(base.alphas_cumprod, dtype=np.float64),
+            make_ddim_timesteps("uniform", 50, 1000), eta, verbose=False,
+        )
+        np.testing.assert_allclose(dd.sigmas, sig, rtol=1e-5)
+        np.testing.assert_allclose(dd.alphas, al, rtol=1e-6)
+        np.testing.assert_allclose(dd.alphas_prev, alp, rtol=1e-6)
