@@ -40,17 +40,16 @@ class Conv2d(nn.Module):
     stride: int = 1
     padding: int | Sequence[tuple[int, int]] = 0
     use_bias: bool = True
+    zero_init: bool = False
     dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         k = self.kernel_size
         cin = x.shape[-1]
-        kernel = self.param(
-            "kernel",
-            nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),
-            (k, k, cin, self.features),
-        )
+        init = (nn.initializers.zeros if self.zero_init else
+                nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"))
+        kernel = self.param("kernel", init, (k, k, cin, self.features))
         if isinstance(self.padding, int):
             pad = [(self.padding, self.padding)] * 2
         else:
@@ -76,17 +75,16 @@ class Conv1d(nn.Module):
     kernel_size: int = 1
     padding: int = 0
     use_bias: bool = True
+    zero_init: bool = False
     dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         k = self.kernel_size
         cin = x.shape[-1]
-        kernel = self.param(
-            "kernel",
-            nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),
-            (k, cin, self.features),
-        )
+        init = (nn.initializers.zeros if self.zero_init else
+                nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"))
+        kernel = self.param("kernel", init, (k, cin, self.features))
         dtype = self.dtype or x.dtype
         y = jax.lax.conv_general_dilated(
             x.astype(dtype),
@@ -149,16 +147,15 @@ class Dense(nn.Module):
 
     features: int
     use_bias: bool = True
+    zero_init: bool = False
     dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cin = x.shape[-1]
-        kernel = self.param(
-            "kernel",
-            nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),
-            (cin, self.features),
-        )
+        init = (nn.initializers.zeros if self.zero_init else
+                nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"))
+        kernel = self.param("kernel", init, (cin, self.features))
         dtype = self.dtype or x.dtype
         y = jnp.dot(x.astype(dtype), kernel.astype(dtype),
                     preferred_element_type=dtype)
@@ -206,15 +203,20 @@ class LayerNorm(nn.Module):
 
 
 class Embed(nn.Module):
-    """torch-style Embedding; param ``embedding`` of shape [num, dim]."""
+    """torch-style Embedding; param ``embedding`` of shape [num, dim].
+
+    The table is exposed as ``.embedding`` so callers (e.g. the VQ codebook
+    lookup) can read it without an id gather.
+    """
 
     num_embeddings: int
     features: int
 
-    @nn.compact
-    def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
-        table = self.param(
+    def setup(self):
+        self.embedding = self.param(
             "embedding", nn.initializers.normal(0.02),
             (self.num_embeddings, self.features),
         )
-        return jnp.take(table, ids, axis=0)
+
+    def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
+        return jnp.take(self.embedding, ids, axis=0)

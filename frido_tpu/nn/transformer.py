@@ -1,0 +1,189 @@
+"""Spatial transformer for cross-attention conditioning (NHWC flax).
+
+Re-design of ``/root/reference/frido/modules/attention.py:152-326``:
+CrossAttention / BasicTransformerBlock / SpatialTransformer. Attention is
+expressed as batched head-major matmuls with fp32 softmax — the shape XLA
+tiles directly onto the MXU; a Pallas flash-attention kernel can be slotted
+into ``dot_attention`` for long sequences.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from frido_tpu.nn.layers import Conv2d, Dense, Embed, GroupNorm, LayerNorm
+from frido_tpu.nn.spade import SPADE
+from frido_tpu.ops.image import interpolate_nearest
+
+
+def dot_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                  scale: float) -> jnp.ndarray:
+    """softmax(q k^T * scale) v over [..., T, d] tensors, fp32 softmax."""
+    sim = jnp.einsum("...id,...jd->...ij", q, k,
+                     preferred_element_type=jnp.float32) * scale
+    attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("...ij,...jd->...id", attn, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+class CrossAttention(nn.Module):
+    """``attention.py:152-193``: multi-head attention, context defaults to x."""
+
+    query_dim: int
+    context_dim: Optional[int] = None
+    heads: int = 8
+    dim_head: int = 64
+
+    def setup(self):
+        inner = self.dim_head * self.heads
+        self.to_q = Dense(inner, use_bias=False, name="to_q")
+        self.to_k = Dense(inner, use_bias=False, name="to_k")
+        self.to_v = Dense(inner, use_bias=False, name="to_v")
+        # torch: to_out = Sequential(Linear, Dropout) -> key to_out.0
+        self.to_out = Dense(self.query_dim, name="to_out__0")
+
+    def __call__(self, x: jnp.ndarray,
+                 context: jnp.ndarray | None = None) -> jnp.ndarray:
+        context = x if context is None else context
+        b, n, _ = x.shape
+        h, d = self.heads, self.dim_head
+        q = self.to_q(x).reshape(b, n, h, d).transpose(0, 2, 1, 3)
+        k = self.to_k(context).reshape(b, context.shape[1], h, d).transpose(0, 2, 1, 3)
+        v = self.to_v(context).reshape(b, context.shape[1], h, d).transpose(0, 2, 1, 3)
+        out = dot_attention(q, k, v, d ** -0.5)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+        return self.to_out(out)
+
+
+class GEGLUFeedForward(nn.Module):
+    """``attention.py:37-64`` with glu=True: GEGLU projection + Linear.
+
+    torch keys: ff.net.0.proj (GEGLU), ff.net.2 (Linear).
+    """
+
+    dim: int
+    mult: int = 4
+
+    def setup(self):
+        inner = int(self.dim * self.mult)
+        self.proj = Dense(inner * 2, name="net__0__proj")
+        self.out = Dense(self.dim, name="net__2")
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        xg = self.proj(x)
+        x1, gate = jnp.split(xg, 2, axis=-1)
+        return self.out(x1 * jax.nn.gelu(gate, approximate=False))
+
+
+class BasicTransformerBlock(nn.Module):
+    """self-attn -> cross-attn(context) -> GEGLU FF (``attention.py:196-240``).
+
+    ``use_mscond`` adds the prev-stage attention branch
+    (``attention.py:229-240``); shipped configs use SPADE instead.
+    """
+
+    dim: int
+    n_heads: int
+    d_head: int
+    context_dim: Optional[int] = None
+    use_mscond: bool = False
+
+    def setup(self):
+        self.attn1 = CrossAttention(self.dim, None, self.n_heads, self.d_head,
+                                    name="attn1")
+        self.ff = GEGLUFeedForward(self.dim, name="ff")
+        self.attn2 = CrossAttention(self.dim, self.context_dim, self.n_heads,
+                                    self.d_head, name="attn2")
+        self.norm1 = LayerNorm(name="norm1")
+        self.norm2 = LayerNorm(name="norm2")
+        self.norm3 = LayerNorm(name="norm3")
+        if self.use_mscond:
+            self.attn_prev = CrossAttention(self.dim, None, self.n_heads,
+                                            self.d_head, name="attn_prev")
+            self.norm_prev = LayerNorm(name="norm_prev")
+            self.attn_cross = CrossAttention(self.dim, self.dim, self.n_heads,
+                                             self.d_head, name="attn_cross")
+            self.norm_cross = LayerNorm(name="norm_cross")
+
+    def __call__(self, x, context=None, x_prev_stage=None):
+        x = self.attn1(self.norm1(x)) + x
+        if x_prev_stage is not None and self.use_mscond:
+            prev = self.attn_prev(self.norm_prev(x_prev_stage)) + x_prev_stage
+            x = self.attn_cross(self.norm_cross(x), context=prev) + x
+        x = self.attn2(self.norm2(x), context=context) + x
+        x = self.ff(self.norm3(x)) + x
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """``attention.py:243-326``: 1x1 proj-in -> flatten -> transformer depth
+    -> 1x1 proj-out, residual. Optional SPADE pre-norm, learned 2-D pos
+    embedding, prev-stage cross-attention branch."""
+
+    in_channels: int
+    n_heads: int
+    d_head: int
+    depth: int = 1
+    context_dim: Optional[int] = None
+    use_spade: bool = False
+    pos_embed_size: int = -1
+    use_mscond: bool = False
+    mscond_dim: Optional[int] = None
+
+    def setup(self):
+        inner = self.n_heads * self.d_head
+        if self.use_spade:
+            self.norm = SPADE(self.in_channels, norm_eps=1e-6, name="norm")
+        else:
+            self.norm = GroupNorm(eps=1e-6, name="norm")
+        if self.pos_embed_size > 0:
+            self.pos_embed = Embed(self.pos_embed_size, self.in_channels,
+                                   name="pos_embed")
+        self.proj_in = Conv2d(inner, 1, name="proj_in")
+        self.transformer_blocks = [
+            BasicTransformerBlock(inner, self.n_heads, self.d_head,
+                                  self.context_dim, self.use_mscond,
+                                  name=f"transformer_blocks__{d}")
+            for d in range(self.depth)
+        ]
+        self.proj_out = Conv2d(self.in_channels, 1, name="proj_out")
+        if self.use_mscond:
+            self.cond_proj_in = Conv2d(inner, 1, name="cond_proj_in")
+
+    def __call__(self, x, context=None, feat_cond=None):
+        b, h, w, c = x.shape
+        x_in = x
+        if self.use_spade:
+            x = self.norm(x, feat_cond)
+        else:
+            x = self.norm(x)
+
+        prev_tokens = None
+        if feat_cond is not None and self.use_mscond:
+            fc = interpolate_nearest(feat_cond, (h, w))
+            fc = self.cond_proj_in(fc)
+            prev_tokens = fc.reshape(b, h * w, -1)
+
+        x = self.proj_in(x).reshape(b, h * w, -1)
+
+        if self.pos_embed_size > 0:
+            # reference builds meshgrid(w, h) with 'ij' indexing then
+            # flattens: position (i over w, j over h) -> token i*h + j
+            # (attention.py:306-315); token order itself is row-major over
+            # (h, w), so emb[t] uses grid_x=t//h, grid_y=t%h.
+            t_idx = jnp.arange(h * w)
+            grid_x = t_idx // h
+            grid_y = t_idx % h
+            emb = (self.pos_embed(grid_x) + self.pos_embed(grid_y)) / 2.0
+            x = x + emb[None]
+
+        for block in self.transformer_blocks:
+            x = block(x, context=context, x_prev_stage=prev_tokens)
+
+        x = x.reshape(b, h, w, -1)
+        x = self.proj_out(x)
+        return x + x_in
