@@ -1,0 +1,233 @@
+"""Scanned DDIM / PLMS samplers for the pyramid latent.
+
+TPU-first re-design of ``/root/reference/frido/models/diffusion/ddim.py``
+and ``plms.py``: the whole (stage x timestep) chain compiles to one XLA
+program —
+
+* the stage loop is unrolled at trace time (``num_stage`` is config, 2-3);
+* the timestep loop is a ``lax.scan`` with the per-step (t, alpha, sigma)
+  buffers as scan inputs, so there are no host round-trips between steps;
+* the reference *grows* the working latent across stages in split-head mode
+  (``plms.py:146-150``); here the latent keeps its full width and each stage
+  updates only its static channel window [start, end) — channels above the
+  window stay at their initial-noise values, which is exactly what the
+  growing-tensor formulation computes (channels below are frozen clean by
+  the same masking the reference applies at ``plms.py:256-281``);
+* classifier-free guidance runs as a single 2B-batched UNet call
+  (vs. two sequential calls at ``plms.py:220-234``);
+* the PLMS Adams-Bashforth order ramp (``plms.py:285-301``) is a
+  ``lax.switch`` over an eps-history scan carry; the first step (which costs
+  one extra model call, ``plms.py:286-290``) is peeled out of the scan.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from frido_tpu.ops.image import avg_pool_2x, interpolate_nearest_2x
+from frido_tpu.schedules import DDIMSchedule, DiffusionSchedule
+
+EpsModel = Callable[[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray], int],
+                    jnp.ndarray]
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerConfig:
+    schedule: DiffusionSchedule
+    num_steps: int = 200
+    eta: float = 1.0
+    guidance_scale: float = 1.0
+    embed_dim_list: Sequence[int] = (4, 4)
+    use_split_head: bool = True
+    specify_channels: Sequence[int] = ()
+    num_stage: int = 2
+    kind: str = "plms"           # 'plms' | 'ddim'
+    temperature: float = 1.0
+    discretize: str = "uniform"
+
+    @property
+    def offset(self) -> int:
+        return self.specify_channels[0] if self.specify_channels else 0
+
+    def window(self, stage: int) -> Tuple[int, int]:
+        start = self.offset + sum(self.embed_dim_list[:stage])
+        end = self.offset + sum(self.embed_dim_list[:stage + 1])
+        return start, end
+
+
+def _make_eps_window(cfg: SamplerConfig, eps_model: EpsModel, context,
+                     uncond_context, stage: int):
+    """Return eps(x, t_batch) -> window-width eps with CFG folded in.
+
+    Matches ``plms.py:202-240``: with split head the model output *is* the
+    window; otherwise the full-width output is sliced to the window (the
+    reference zeroes outside it, then only the window participates in the
+    update anyway).
+    """
+    start, end = cfg.window(stage)
+    off = cfg.offset
+    gs = cfg.guidance_scale
+
+    def eps(x, tb):
+        x_in = x[..., off:] if off else x
+        if gs != 1.0:
+            assert uncond_context is not None, (
+                "guidance_scale != 1 requires unconditional conditioning")
+            xx = jnp.concatenate([x_in, x_in], axis=0)
+            tt = jnp.concatenate([tb, tb], axis=0)
+            cc = jnp.concatenate([uncond_context, context], axis=0)
+            out = eps_model(xx, tt, cc, stage)
+            e_u, e_c = jnp.split(out, 2, axis=0)
+            out = e_u + gs * (e_c - e_u)
+        else:
+            out = eps_model(x_in, tb, context, stage)
+        if cfg.use_split_head:
+            return out  # width == end - start by construction
+        return out[..., start - off:end - off]
+
+    return eps
+
+
+def _stage_smooth(cfg: SamplerConfig, x: jnp.ndarray, stage: int) -> jnp.ndarray:
+    """End-of-stage avg-pool -> nearest-upsample smoothing of the finished
+    channel block (``plms.py:185-193``)."""
+    if cfg.num_stage == 1:
+        return x
+    start, end = cfg.window(stage)
+    k = cfg.num_stage - stage - 1
+    blk = x[..., start:end]
+    for _ in range(k):
+        blk = avg_pool_2x(blk)
+    for _ in range(k):
+        blk = interpolate_nearest_2x(blk)
+    return x.at[..., start:end].set(blk)
+
+
+def _ddim_update(x_w, e_w, a_t, a_prev, sqrt_1ma, sigma, noise):
+    """One DDIM x_t -> x_{t-1} update on the window (``ddim.py:242-263``)."""
+    pred_x0 = (x_w - sqrt_1ma * e_w) / jnp.sqrt(a_t)
+    dir_xt = jnp.sqrt(1.0 - a_prev - sigma**2) * e_w
+    x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + sigma * noise
+    return x_prev, pred_x0
+
+
+def _scan_inputs(dd: DDIMSchedule, rng, shape_w, temperature: float):
+    """Descending-time per-step buffers + per-step noise (pre-drawn keys)."""
+    S = dd.num_steps
+    ts = jnp.asarray(dd.timesteps)[::-1]
+    a_t = jnp.asarray(dd.alphas)[::-1]
+    a_prev = jnp.asarray(dd.alphas_prev)[::-1]
+    sqrt_1ma = jnp.asarray(dd.sqrt_one_minus_alphas)[::-1]
+    sigmas = jnp.asarray(dd.sigmas)[::-1]
+    noise = jax.random.normal(rng, (S,) + shape_w) * temperature
+    return dict(t=ts, a_t=a_t, a_prev=a_prev, sqrt_1ma=sqrt_1ma,
+                sigma=sigmas, noise=noise)
+
+
+def _sample_stage_ddim(cfg, dd, eps, x, stage, rng):
+    start, end = cfg.window(stage)
+    b = x.shape[0]
+    xs = _scan_inputs(dd, rng, x[..., start:end].shape, cfg.temperature)
+
+    def step(x, inp):
+        tb = jnp.full((b,), inp["t"], dtype=jnp.int32)
+        e_w = eps(x, tb)
+        x_w = x[..., start:end]
+        x_prev, _ = _ddim_update(x_w, e_w, inp["a_t"], inp["a_prev"],
+                                 inp["sqrt_1ma"], inp["sigma"], inp["noise"])
+        return x.at[..., start:end].set(x_prev), None
+
+    x, _ = jax.lax.scan(step, x, xs)
+    return x
+
+
+def _plms_combine(order: jnp.ndarray, e_t, h1, h2, h3):
+    """Adams-Bashforth combination by history length (``plms.py:291-299``)."""
+    return jax.lax.switch(
+        order,
+        [
+            lambda: (3 * e_t - h1) / 2,
+            lambda: (23 * e_t - 16 * h1 + 5 * h2) / 12,
+            lambda: (55 * e_t - 59 * h1 + 37 * h2 - 9 * h3) / 24,
+        ],
+    )
+
+
+def _sample_stage_plms(cfg, dd, eps, x, stage, rng):
+    start, end = cfg.window(stage)
+    b = x.shape[0]
+    S = dd.num_steps
+    xs = _scan_inputs(dd, rng, x[..., start:end].shape, cfg.temperature)
+
+    def update(x, e_w, i):
+        x_w = x[..., start:end]
+        x_prev, pred = _ddim_update(
+            x_w, e_w, xs["a_t"][i], xs["a_prev"][i], xs["sqrt_1ma"][i],
+            xs["sigma"][i], xs["noise"][i])
+        return x.at[..., start:end].set(x_prev), pred
+
+    # --- step 0: pseudo improved Euler (2 model calls, plms.py:286-290) ---
+    t0 = jnp.full((b,), xs["t"][0], dtype=jnp.int32)
+    t1 = jnp.full((b,), xs["t"][jnp.minimum(1, S - 1)], dtype=jnp.int32)
+    e_t = eps(x, t0)
+    x_half, _ = update(x, e_t, 0)
+    e_next = eps(x_half, t1)
+    x, _ = update(x, (e_t + e_next) / 2, 0)
+    hist = (e_t, jnp.zeros_like(e_t), jnp.zeros_like(e_t))
+
+    # --- steps 1..S-1 under scan with eps history carry -------------------
+    def step(carry, i):
+        x, (h1, h2, h3) = carry
+        tb = jnp.full((b,), xs["t"][i], dtype=jnp.int32)
+        e_t = eps(x, tb)
+        order = jnp.minimum(i, 3) - 1  # 0-based switch index
+        e_prime = _plms_combine(order, e_t, h1, h2, h3)
+        x_w = x[..., start:end]
+        x_prev, _ = _ddim_update(
+            x_w, e_prime, xs["a_t"][i], xs["a_prev"][i], xs["sqrt_1ma"][i],
+            xs["sigma"][i], xs["noise"][i])
+        x = x.at[..., start:end].set(x_prev)
+        return (x, (e_t, h1, h2)), None
+
+    if S > 1:
+        (x, _), _ = jax.lax.scan(step, (x, hist), jnp.arange(1, S))
+    return x
+
+
+def sample(cfg: SamplerConfig, eps_model: EpsModel, rng,
+           shape: Tuple[int, ...], context=None, uncond_context=None,
+           x_T=None, x_init=None) -> jnp.ndarray:
+    """Full coarse-to-fine sampling chain. Returns the final latent z_0
+    (still scaled; callers run decode_first_stage).
+
+    ``x_T``: adopt as a *finished* stage 0 and skip its sampling
+    (``plms.py:151-153``). ``x_init``: use as the initial noise but sample
+    every stage (deterministic runs / goldens).
+    """
+    if cfg.kind == "plms" and cfg.eta != 0.0:
+        raise ValueError("ddim_eta must be 0 for PLMS (plms.py:25-26)")
+    assert x_T is None or x_init is None
+    dd = DDIMSchedule.create(cfg.schedule, cfg.num_steps, eta=cfg.eta,
+                             discretize=cfg.discretize)
+
+    rng, init_key = jax.random.split(rng)
+    if x_T is not None:
+        x = x_T
+    elif x_init is not None:
+        x = x_init
+    else:
+        x = jax.random.normal(init_key, shape)
+
+    stage_fn = _sample_stage_plms if cfg.kind == "plms" else _sample_stage_ddim
+    for s in range(cfg.num_stage):
+        if x_T is not None and s == 0:
+            continue  # adopt x_T as the finished stage 0 (plms.py:151-153)
+        rng, stage_key = jax.random.split(rng)
+        eps = _make_eps_window(cfg, eps_model, context, uncond_context, s)
+        x = stage_fn(cfg, dd, eps, x, s, stage_key)
+        x = _stage_smooth(cfg, x, s)
+    return x

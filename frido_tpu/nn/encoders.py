@@ -1,0 +1,220 @@
+"""Conditioning encoders for t2i / layout2i / sg2i / label2i.
+
+Re-design of ``/root/reference/frido/modules/encoders/modules.py``. The
+jit-side modules consume integer token tensors; tokenization (HuggingFace
+BertTokenizerFast for raw text) stays host-side, outside the XLA program,
+exactly as the ragged-data design in SURVEY.md §7 prescribes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from frido_tpu.nn.layers import Conv2d, Dense, Embed
+from frido_tpu.nn.xtransformer import TransformerWrapper
+
+
+class BERTEmbedderModule(nn.Module):
+    """Transformer trunk of BERTEmbedder (``modules.py:85-114``): from-scratch
+    x-transformer over BERT-vocab (or raw layout/label) tokens, returning
+    per-token embeddings for cross-attention."""
+
+    n_embed: int
+    n_layer: int
+    vocab_size: int = 30522
+    max_seq_len: int = 77
+
+    def setup(self):
+        self.transformer = TransformerWrapper(
+            num_tokens=self.vocab_size, max_seq_len=self.max_seq_len,
+            dim=self.n_embed, depth=self.n_layer, name="transformer")
+
+    def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        return self.transformer(tokens)
+
+
+class ClassEmbedderModule(nn.Module):
+    """``modules.py:21-39``: class-token embedding; multilabel max-pools
+    token embeddings."""
+
+    embed_dim: int
+    n_classes: int = 1000
+    multilabel: bool = False
+
+    def setup(self):
+        self.embedding = Embed(self.n_classes, self.embed_dim, name="embedding")
+
+    def __call__(self, c: jnp.ndarray) -> jnp.ndarray:
+        if self.multilabel:
+            return jnp.max(self.embedding(c), axis=-2)
+        return self.embedding(c[:, None])
+
+
+class SpatialRescalerModule(nn.Module):
+    """``modules.py:127-156``: n-stage bilinear downscale + optional 1x1
+    channel map, for image-space conditioning."""
+
+    n_stages: int = 1
+    multiplier: float = 0.5
+    out_channels: Optional[int] = None
+
+    def setup(self):
+        if self.out_channels is not None:
+            self.channel_mapper = Conv2d(self.out_channels, 1, use_bias=False,
+                                         name="channel_mapper")
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import jax.image
+
+        for _ in range(self.n_stages):
+            n, h, w, c = x.shape
+            x = jax.image.resize(
+                x, (n, int(h * self.multiplier), int(w * self.multiplier), c),
+                method="bilinear")
+        if self.out_channels is not None:
+            x = self.channel_mapper(x)
+        return x
+
+
+# ---------------------------------------------------------------------------
+# host-side tokenization
+# ---------------------------------------------------------------------------
+
+class BERTTokenizerHost:
+    """HuggingFace BertTokenizerFast wrapper (``modules.py:59-83``):
+    truncate + pad to max_length, returns int32 [B, L] numpy tokens.
+
+    Needs the bert-base-uncased vocab locally (HF cache or
+    ``FRIDO_TPU_BERT_TOKENIZER`` path); the environment has no egress.
+    """
+
+    def __init__(self, max_length: int = 77):
+        import os
+
+        from transformers import BertTokenizerFast
+
+        src = os.environ.get("FRIDO_TPU_BERT_TOKENIZER", "bert-base-uncased")
+        try:
+            self.tokenizer = BertTokenizerFast.from_pretrained(src)
+        except Exception as e:  # no cache, no egress
+            raise RuntimeError(
+                "bert-base-uncased tokenizer unavailable locally; set "
+                "FRIDO_TPU_BERT_TOKENIZER to a local tokenizer dir"
+            ) from e
+        self.max_length = max_length
+
+    def __call__(self, texts):
+        import numpy as np
+
+        enc = self.tokenizer(
+            texts, truncation=True, max_length=self.max_length,
+            padding="max_length", return_tensors="np")
+        return np.asarray(enc["input_ids"], dtype="int32")
+
+
+# ---------------------------------------------------------------------------
+# config-facing wrappers (string-target instantiation)
+# ---------------------------------------------------------------------------
+
+class BERTEmbedder:
+    """Config entry point. Holds the flax module + host tokenizer; the
+    diffusion model embeds the module under ``cond_stage_model``."""
+
+    def __init__(self, n_embed: int, n_layer: int, vocab_size: int = 30522,
+                 max_seq_len: int = 77, use_tokenizer: bool = True,
+                 embedding_dropout: float = 0.0, cond_key: str = "",
+                 device: str = ""):
+        self.n_embed = n_embed
+        self.n_layer = n_layer
+        self.vocab_size = vocab_size
+        self.max_seq_len = max_seq_len
+        self.use_tokenizer = use_tokenizer
+        self.cond_key = cond_key
+        self._tokenizer = None
+
+    def build_module(self, name: str = "cond_stage_model") -> BERTEmbedderModule:
+        return BERTEmbedderModule(
+            n_embed=self.n_embed, n_layer=self.n_layer,
+            vocab_size=self.vocab_size, max_seq_len=self.max_seq_len,
+            name=name)
+
+    def tokenize(self, cond) -> "Any":
+        """Host-side: text list -> int tokens; raw-token conds pass through
+        (optionally keyed by ``cond_key``, e.g. 'objects' for label2i)."""
+        import numpy as np
+
+        if self.use_tokenizer:
+            if self._tokenizer is None:
+                self._tokenizer = BERTTokenizerHost(self.max_seq_len)
+            return self._tokenizer(cond)
+        if self.cond_key and isinstance(cond, dict):
+            cond = cond[self.cond_key]
+        return np.asarray(cond, dtype="int32")
+
+
+class ClassEmbedder:
+    def __init__(self, embed_dim: int, multilabel: bool = False,
+                 padding_idx: int = 1023, n_classes: int = 1000,
+                 key: str = "class"):
+        self.embed_dim = embed_dim
+        self.multilabel = multilabel
+        self.n_classes = n_classes
+        self.key = key
+
+    def build_module(self, name: str = "cond_stage_model") -> ClassEmbedderModule:
+        return ClassEmbedderModule(embed_dim=self.embed_dim,
+                                   n_classes=self.n_classes,
+                                   multilabel=self.multilabel, name=name)
+
+    def tokenize(self, cond):
+        import numpy as np
+
+        if isinstance(cond, dict):
+            cond = cond[self.key]
+        return np.asarray(cond, dtype="int32")
+
+
+class TransformerEmbedder(BERTEmbedder):
+    """``modules.py:42-56`` — raw-token transformer encoder."""
+
+    def __init__(self, n_embed: int, n_layer: int, vocab_size: int,
+                 max_seq_len: int = 77, device: str = ""):
+        super().__init__(n_embed, n_layer, vocab_size, max_seq_len,
+                         use_tokenizer=False)
+
+
+class SpatialRescaler:
+    def __init__(self, n_stages: int = 1, method: str = "bilinear",
+                 multiplier: float = 0.5, in_channels: int = 3,
+                 out_channels: Optional[int] = None, bias: bool = False):
+        self.n_stages = n_stages
+        self.multiplier = multiplier
+        self.out_channels = out_channels
+
+    def build_module(self, name: str = "cond_stage_model") -> SpatialRescalerModule:
+        return SpatialRescalerModule(n_stages=self.n_stages,
+                                     multiplier=self.multiplier,
+                                     out_channels=self.out_channels, name=name)
+
+    def tokenize(self, cond):
+        return cond
+
+
+class FrozenCLIPEmbedder:
+    """CLIP text encoder via transformers Flax weights; requires a local
+    checkpoint (zero-egress environment). Used by the clip-t2i config
+    (FID 10.74 row in BASELINE.md)."""
+
+    def __init__(self, version: str = "openai/clip-vit-large-patch14",
+                 device: str = "", max_length: int = 77):
+        self.version = version
+        self.max_length = max_length
+
+    def build_module(self, name: str = "cond_stage_model"):
+        raise NotImplementedError(
+            "FrozenCLIPEmbedder needs local CLIP weights; set up a local "
+            "snapshot of openai/clip-vit-large-patch14 and extend "
+            "frido_tpu.nn.encoders (no egress in this environment)")

@@ -19,7 +19,13 @@ def install_reference(monkeypatch=None):
 
     if "pytorch_lightning" not in sys.modules:
         pl = types.ModuleType("pytorch_lightning")
-        pl.LightningModule = torch.nn.Module
+
+        class LightningModule(torch.nn.Module):
+            @property
+            def device(self):
+                return torch.device("cpu")
+
+        pl.LightningModule = LightningModule
         pl.Callback = object
         sys.modules["pytorch_lightning"] = pl
         util = types.ModuleType("pytorch_lightning.utilities")
@@ -37,8 +43,19 @@ def install_reference(monkeypatch=None):
 
         tvm.__getattr__ = _missing
         tv.models = tvm
+        tvu = types.ModuleType("torchvision.utils")
+
+        def make_grid(t, nrow=8, **kw):
+            return t
+
+        tvu.make_grid = make_grid
+        tv.utils = tvu
+        tv.__path__ = []  # mark as package so submodule imports resolve
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.models"] = tvm
+        sys.modules["torchvision.utils"] = tvu
+    if "kornia" not in sys.modules:
+        sys.modules["kornia"] = types.ModuleType("kornia")
     if "omegaconf" not in sys.modules:
         oc = types.ModuleType("omegaconf")
         lc = types.ModuleType("omegaconf.listconfig")
