@@ -1,0 +1,91 @@
+"""Headline benchmark: 256x256 images/sec/chip, 200-step PLMS, CFG 1.5.
+
+Matches the reference's eval configuration (``tools/frido/eval_t2i.sh``:
+PLMS 200 steps, guidance 1.5) and its throughput metric — wall-clock around
+sampling + first-stage decode per batch
+(``/root/reference/scripts/sample_diffusion.py:198-205``). Runs on the real
+TPU chip; prints ONE JSON line.
+
+The reference publishes no V100 throughput number (BASELINE.md). We compare
+against a documented engineering estimate of the torch fp32 eager pipeline
+on one V100: ~10.5 TFLOPs/image (400 CFG UNet calls + decode) at ~30% of
+15.7 TFLOPs peak => ~0.45 img/s; vs_baseline uses 0.45.
+
+Env overrides: BENCH_BATCH (default 8), BENCH_STEPS (default 200),
+BENCH_REPEATS (default 2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+V100_EST_IMG_PER_S = 0.45
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    steps = int(os.environ.get("BENCH_STEPS", "200"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
+
+    import __graft_entry__ as g
+    from frido_tpu.config import load_yaml
+    from frido_tpu.models.frido import FridoDiffusion
+
+    cfg = load_yaml(g.FLAGSHIP_CONFIG)["model"]["params"]
+    model = FridoDiffusion(
+        first_stage_config=cfg["first_stage_config"],
+        cond_stage_config=cfg["cond_stage_config"],
+        unet_config=cfg["unet_config"],
+        **{k: v for k, v in cfg.items()
+           if k not in ("first_stage_config", "cond_stage_config",
+                        "unet_config")})
+
+    rng = jax.random.PRNGKey(0)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = model.init_params(jax.random.PRNGKey(0), context_len=77)
+    params = jax.device_put(params, jax.devices()[0])
+
+    tokens = jnp.zeros((batch, 77), jnp.int32)
+    utokens = jnp.zeros((batch, 77), jnp.int32)
+
+    def pipeline(params, rng, tokens, utokens):
+        ctx = model.get_learned_conditioning(params, tokens)
+        uctx = model.get_learned_conditioning(params, utokens)
+        z = model.sample(params, rng, batch, context=ctx,
+                         uncond_context=uctx, steps=steps, eta=0.0,
+                         guidance_scale=1.5, sampler="plms",
+                         compute_dtype=jnp.bfloat16)
+        return model.decode_first_stage(params, z)
+
+    fn = jax.jit(pipeline)
+
+    # warmup/compile
+    img = fn(params, rng, tokens, utokens)
+    jax.block_until_ready(img)
+
+    times = []
+    for i in range(repeats):
+        r = jax.random.fold_in(rng, i)
+        t0 = time.perf_counter()
+        img = fn(params, r, tokens, utokens)
+        jax.block_until_ready(img)
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    ips = batch / best
+    print(json.dumps({
+        "metric": f"t2i 256x256 images/sec/chip (PLMS {steps} steps, CFG 1.5)",
+        "value": round(ips, 4),
+        "unit": "img/s",
+        "vs_baseline": round(ips / V100_EST_IMG_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

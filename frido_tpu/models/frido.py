@@ -254,9 +254,14 @@ class FridoDiffusion:
     # params
     # ------------------------------------------------------------------
     def init_params(self, rng, context_len: int = 77) -> Dict[str, Any]:
-        img = jnp.zeros((1, self.image_size * 2 ** self._num_downs(),
-                         self.image_size * 2 ** self._num_downs(), 3))
-        z = jnp.zeros((1, self.image_size, self.image_size, self.channels))
+        # Conv/attention params are shape-independent of the spatial dims;
+        # init on the smallest grid that survives every stride (fast init).
+        ds_unet = max(self.unet_config["params"].get(
+            "attention_resolutions", [8]))
+        lat = max(ds_unet * 2, 8)
+        side = 4 * 2 ** self._num_downs()
+        img = jnp.zeros((1, side, side, 3))
+        z = jnp.zeros((1, lat, lat, self.channels))
         t = jnp.zeros((1,), jnp.int32)
         tokens = None
         if self.cond_wrapper is not None:
@@ -404,7 +409,7 @@ class FridoDiffusion:
     def sample(self, params, rng, batch_size: int, context=None,
                uncond_context=None, steps: int = 200, eta: float = 1.0,
                guidance_scale: float = 1.0, sampler: str = "plms",
-               x_T=None, x_init=None):
+               x_T=None, x_init=None, compute_dtype=None):
         from frido_tpu.diffusion import samplers
 
         shape = (batch_size, self.image_size, self.image_size, self.channels)
@@ -415,8 +420,21 @@ class FridoDiffusion:
             use_split_head=self.use_split_head,
             specify_channels=tuple(self.specify_channels),
             num_stage=self.num_stage, kind=sampler)
-        eps_model = lambda x, t, ctx, stage: self.apply_model(
-            params, x, t, ctx, stage)
+
+        if compute_dtype is not None:
+            # bf16 UNet compute: the update math and schedule stay fp32
+            if context is not None:
+                context = context.astype(compute_dtype)
+            if uncond_context is not None:
+                uncond_context = uncond_context.astype(compute_dtype)
+
+            def eps_model(x, t, ctx, stage):
+                out = self.apply_model(
+                    params, x.astype(compute_dtype), t, ctx, stage)
+                return out.astype(jnp.float32)
+        else:
+            eps_model = lambda x, t, ctx, stage: self.apply_model(
+                params, x, t, ctx, stage)
         return samplers.sample(cfg, eps_model, rng, shape, context,
                                uncond_context, x_T=x_T, x_init=x_init)
 

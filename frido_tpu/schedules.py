@@ -126,12 +126,15 @@ class DiffusionSchedule:
         f32 = lambda x: np.asarray(x, dtype=np.float32)
 
         if parameterization == "eps":
-            lvlb_weights = f32(betas) ** 2 / (
-                2
-                * f32(posterior_variance)
-                * f32(alphas)
-                * (1 - f32(alphas_cumprod))
-            )
+            # posterior_variance[0] == 0 -> inf at t=0; overwritten below
+            # (lvlb_weights[0] = lvlb_weights[1]) exactly like the reference.
+            with np.errstate(divide="ignore"):
+                lvlb_weights = f32(betas) ** 2 / (
+                    2
+                    * f32(posterior_variance)
+                    * f32(alphas)
+                    * (1 - f32(alphas_cumprod))
+                )
         elif parameterization == "x0":
             lvlb_weights = 0.5 * np.sqrt(f32(alphas_cumprod)) / (
                 2.0 * 1 - f32(alphas_cumprod)

@@ -1,0 +1,133 @@
+"""MS-VQGAN GAN training step (generator + discriminator phases).
+
+Replaces the Lightning two-optimizer alternation
+(``/root/reference/taming/models/msvqgan.py:199-261``) with one jitted step
+that runs both phases. The adaptive generator weight
+``|grad_nll| / |grad_g|`` w.r.t. the decoder's final conv kernel
+(``vqperceptual.py:67-78``) falls out of the two backward passes we compute
+anyway: the combined update is
+``grad(nll + cb*qloss) + d_weight * disc_factor * grad(g_loss)`` with
+d_weight stop-gradiented — exactly the torch graph.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@flax.struct.dataclass
+class VQGANTrainState:
+    params_g: Any          # MSVQGAN params {'params': ...}
+    vars_d: Any            # loss module variables {'params', 'batch_stats'}
+    opt_g: Any
+    opt_d: Any
+    step: jnp.ndarray
+
+
+def _last_layer_leaf(params_g: Dict) -> jnp.ndarray:
+    """decoder.conv_out.weight — the reference's ``get_last_layer``
+    (``msvqgan.py:263-264``)."""
+    return params_g["params"]["decoder"]["conv_out"]["kernel"]
+
+
+def create_vqgan_train_state(module, loss_wrapper, rng, tx_g, tx_d,
+                             image_shape=(1, 64, 64, 3)) -> VQGANTrainState:
+    rng_g, rng_d = jax.random.split(rng)
+    params_g = module.init(rng_g, jnp.zeros(image_shape))
+    vars_d = loss_wrapper.init_params(rng_d, image_shape)
+    return VQGANTrainState(
+        params_g=params_g,
+        vars_d=vars_d,
+        opt_g=tx_g.init(params_g),
+        opt_d=tx_d.init({"params": vars_d["params"]}),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_vqgan_train_step(module, loss_wrapper, tx_g, tx_d,
+                          use_aux_loss: bool = False) -> Callable:
+    """step(state, images) -> (state, logs); images NHWC in [-1, 1]."""
+    cb_w = loss_wrapper.codebook_weight
+    disc_factor0 = loss_wrapper.disc_factor
+    disc_start = loss_wrapper.disc_start
+    d_weight_max = loss_wrapper.discriminator_weight
+
+    def gen_losses(params_g, vars_d, x):
+        if use_aux_loss:
+            dec, dec_aux, qloss, _ = module.apply(
+                params_g, x, False, method="forward_with_aux")
+        else:
+            dec, qloss, _ = module.apply(params_g, x, False)
+            dec_aux = None
+        nll, nll_logs = loss_wrapper.nll_loss(vars_d, x, dec, dec_aux)
+        logits_fake, _ = loss_wrapper.logits(vars_d, dec, train=True)
+        g_loss = -jnp.mean(logits_fake)
+        return nll, qloss, g_loss, dec, nll_logs
+
+    def step(state: VQGANTrainState, x: jnp.ndarray):
+        disc_factor = jnp.where(state.step < disc_start, 0.0, disc_factor0)
+
+        # ---- generator phase: two backward passes --------------------
+        def f_nll(params_g):
+            nll, qloss, g_loss, dec, logs = gen_losses(params_g,
+                                                       state.vars_d, x)
+            return nll + cb_w * qloss, (nll, qloss, g_loss, dec, logs)
+
+        def f_g(params_g):
+            _, _, g_loss, _, _ = gen_losses(params_g, state.vars_d, x)
+            return g_loss
+
+        (nll_cb, (nll, qloss, g_loss, dec, nll_logs)), grad_nll = (
+            jax.value_and_grad(f_nll, has_aux=True)(state.params_g))
+        grad_g = jax.grad(f_g)(state.params_g)
+
+        gn = jnp.linalg.norm(_last_layer_leaf(grad_nll))
+        gg = jnp.linalg.norm(_last_layer_leaf(grad_g))
+        d_weight = jnp.clip(gn / (gg + 1e-4), 0.0, 1e4) * d_weight_max
+        d_weight = jax.lax.stop_gradient(d_weight)
+
+        total_grad = jax.tree_util.tree_map(
+            lambda a, b: a + d_weight * disc_factor * b, grad_nll, grad_g)
+        upd_g, opt_g = tx_g.update(total_grad, state.opt_g, state.params_g)
+        params_g = optax.apply_updates(state.params_g, upd_g)
+
+        # ---- discriminator phase -------------------------------------
+        dec_sg = jax.lax.stop_gradient(dec)
+
+        def f_d(d_params):
+            vars_d = {**state.vars_d, "params": d_params["params"]}
+            logits_real, upd1 = loss_wrapper.logits(vars_d, x, train=True)
+            vars_d2 = {**vars_d, **upd1}
+            logits_fake, upd2 = loss_wrapper.logits(vars_d2, dec_sg,
+                                                    train=True)
+            d_loss = disc_factor * loss_wrapper.disc_loss(logits_real,
+                                                          logits_fake)
+            return d_loss, (upd2, logits_real.mean(), logits_fake.mean())
+
+        (d_loss, (bs_updates, lr_mean, lf_mean)), grad_d = (
+            jax.value_and_grad(f_d, has_aux=True)(
+                {"params": state.vars_d["params"]}))
+        upd_d, opt_d = tx_d.update(grad_d, state.opt_d,
+                                   {"params": state.vars_d["params"]})
+        new_d_params = optax.apply_updates(
+            {"params": state.vars_d["params"]}, upd_d)
+        vars_d = {**state.vars_d, "params": new_d_params["params"],
+                  **bs_updates}
+
+        logs = {
+            "aeloss": nll_cb + d_weight * disc_factor * g_loss,
+            "nll_loss": nll, "quant_loss": qloss, "g_loss": g_loss,
+            "d_weight": d_weight, "discloss": d_loss,
+            "logits_real": lr_mean, "logits_fake": lf_mean,
+        }
+        logs.update(nll_logs)
+        return VQGANTrainState(params_g=params_g, vars_d=vars_d,
+                               opt_g=opt_g, opt_d=opt_d,
+                               step=state.step + 1), logs
+
+    return step

@@ -1,0 +1,155 @@
+"""Training-step tests: diffusion DP step and the MS-VQGAN GAN step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from frido_tpu.losses.vqperceptual import VQLPIPSWithDiscriminator
+from frido_tpu.models.frido import FridoDiffusion
+from frido_tpu.models.msvqgan import msvqgan_from_config
+from frido_tpu.parallel import mesh as pmesh
+from frido_tpu.training import optim, trainer
+from frido_tpu.training.ema import init_ema, update_ema
+from frido_tpu.training.vqgan_trainer import (
+    create_vqgan_train_state,
+    make_vqgan_train_step,
+)
+
+TINY_ED = dict(multiscale=2, double_z=False, z_channels=[4, 4], resolution=32,
+               in_channels=3, out_ch=3, ch=32, ch_mult=[1, 1, 2],
+               num_res_blocks=1, attn_resolutions=[8], dropout=0.0)
+TINY_DD = dict(double_z=False, z_channels=8, resolution=32, in_channels=3,
+               out_ch=3, ch=32, ch_mult=[1, 1], num_res_blocks=1,
+               attn_resolutions=[8], dropout=0.0)
+TINY_FIRST = {"target": "taming.models.msvqgan.VQModelInterface",
+              "params": dict(embed_dim=[4, 4], n_embed=[32, 32],
+                             edconfig=TINY_ED, ddconfig=TINY_DD,
+                             lossconfig={"target": "taming.modules.losses.DummyLoss"})}
+TINY_COND = {"target": "frido.modules.encoders.modules.BERTEmbedder",
+             "params": dict(n_embed=32, n_layer=1, vocab_size=32,
+                            max_seq_len=8, use_tokenizer=False)}
+TINY_UNET = {"target": "frido.modules.diffusionmodules.pyunet.PyUNetModel",
+             "params": dict(use_split_head=True, split_embed_dim_list=[4, 4],
+                            use_SPADE_norm=True, image_size=16, in_channels=8,
+                            out_channels=8, model_channels=32,
+                            attention_resolutions=[2], num_res_blocks=1,
+                            channel_mult=[1, 2], num_head_channels=16,
+                            use_spatial_transformer=True, transformer_depth=1,
+                            context_dim=32, num_stage=2)}
+
+
+@pytest.fixture(scope="module")
+def diffusion_model():
+    model = FridoDiffusion(
+        first_stage_config=TINY_FIRST, cond_stage_config=TINY_COND,
+        unet_config=TINY_UNET, timesteps=50, loss_type="l1", image_size=16,
+        channels=8, conditioning_key="crossattn", adopted_scale_factor=True,
+        noise_mix_ratio=0.1, cond_stage_trainable=True)
+    params = model.init_params(jax.random.PRNGKey(0), context_len=8)
+    return model, params
+
+
+def test_train_step_runs_and_freezes_first_stage(diffusion_model):
+    model, params = diffusion_model
+    tx = optim.build_optimizer(1e-3)
+    state, masked = trainer.create_train_state(model, params, tx)
+    step = jax.jit(trainer.make_train_step(model, masked))
+    batch = {"image": jnp.asarray(
+        np.random.RandomState(0).randn(2, 32, 32, 3), jnp.float32),
+        "tokens": jnp.asarray(
+            np.random.RandomState(1).randint(0, 32, (2, 8)))}
+    s1, logs = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(logs["loss"]))
+    # frozen first stage: params unchanged
+    before = state.params["params"]["first_stage_model"]["post_quant_conv"]["kernel"]
+    after = s1.params["params"]["first_stage_model"]["post_quant_conv"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(before), np.asarray(after))
+    # denoiser must move
+    b2 = state.params["params"]["model"]["diffusion_model"]["time_embed__0"]["kernel"]
+    a2 = s1.params["params"]["model"]["diffusion_model"]["time_embed__0"]["kernel"]
+    assert np.abs(np.asarray(a2) - np.asarray(b2)).max() > 0
+    # EMA advanced
+    assert int(s1.ema_updates) == 1
+
+
+def test_train_loss_decreases(diffusion_model):
+    model, params = diffusion_model
+    tx = optim.build_optimizer(2e-3)
+    state, masked = trainer.create_train_state(model, params, tx)
+    step = jax.jit(trainer.make_train_step(model, masked, use_ema=False))
+    batch = {"image": jnp.asarray(
+        np.random.RandomState(0).randn(4, 32, 32, 3) * 0.1, jnp.float32),
+        "tokens": jnp.asarray(
+            np.random.RandomState(1).randint(0, 32, (4, 8)))}
+    losses = []
+    rng = jax.random.PRNGKey(7)
+    for i in range(30):
+        state, logs = step(state, batch, rng)
+        losses.append(float(logs["loss"]))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_ema_ramp():
+    p0 = {"w": jnp.ones((3,))}
+    shadow, n = init_ema(p0)
+    p1 = {"w": jnp.zeros((3,))}
+    shadow, n = update_ema(shadow, p1, n)
+    # first step: decay = min(.9999, 2/11)
+    np.testing.assert_allclose(np.asarray(shadow["w"]),
+                               np.full(3, 2 / 11), rtol=1e-6)
+    assert int(n) == 1
+
+
+def test_sharded_train_step_matches_single_device(diffusion_model):
+    model, params = diffusion_model
+    tx = optim.build_optimizer(1e-3)
+    state, masked = trainer.create_train_state(model, params, tx)
+    step_fn = trainer.make_train_step(model, masked)
+    batch = {"image": jnp.asarray(
+        np.random.RandomState(3).randn(8, 32, 32, 3), jnp.float32),
+        "tokens": jnp.asarray(
+            np.random.RandomState(4).randint(0, 32, (8, 8)))}
+    rng = jax.random.PRNGKey(0)
+
+    s_single, logs_single = jax.jit(step_fn)(state, batch, rng)
+
+    m = pmesh.make_mesh(n_data=8)
+    sharded = jax.jit(
+        step_fn,
+        in_shardings=(pmesh.replicated(m), pmesh.batch_sharding(m),
+                      pmesh.replicated(m)),
+        out_shardings=(pmesh.replicated(m), pmesh.replicated(m)))
+    s_multi, logs_multi = sharded(
+        pmesh.replicate(m, state), pmesh.shard_batch(m, batch), rng)
+    np.testing.assert_allclose(float(logs_single["loss"]),
+                               float(logs_multi["loss"]), rtol=2e-5)
+    a = np.asarray(jax.tree_util.tree_leaves(s_single.params)[0])
+    b = np.asarray(jax.tree_util.tree_leaves(s_multi.params)[0])
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_vqgan_gan_step():
+    mod = msvqgan_from_config(TINY_FIRST["params"], name=None)
+    loss = VQLPIPSWithDiscriminator(disc_start=0, disc_num_layers=2,
+                                    disc_weight=0.8, perceptual_weight=0.0)
+    tx_g = optim.build_optimizer(1e-4)
+    tx_d = optim.build_optimizer(1e-4)
+    state = create_vqgan_train_state(mod, loss, jax.random.PRNGKey(0),
+                                     tx_g, tx_d, image_shape=(2, 32, 32, 3))
+    step = jax.jit(make_vqgan_train_step(mod, loss, tx_g, tx_d))
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 32, 32, 3) * 0.5,
+                    jnp.float32)
+    s1, logs = step(state, x)
+    for k in ["aeloss", "discloss", "d_weight", "quant_loss"]:
+        assert np.isfinite(float(logs[k])), k
+    # discriminator BN stats updated
+    rm0 = jax.tree_util.tree_leaves(state.vars_d["batch_stats"])[0]
+    rm1 = jax.tree_util.tree_leaves(s1.vars_d["batch_stats"])[0]
+    assert np.abs(np.asarray(rm1) - np.asarray(rm0)).max() > 0
+    # one more step with disc warmup gate
+    loss2 = VQLPIPSWithDiscriminator(disc_start=1000, disc_num_layers=2,
+                                     perceptual_weight=0.0)
+    step2 = jax.jit(make_vqgan_train_step(mod, loss2, tx_g, tx_d))
+    s2, logs2 = step2(state, x)
+    assert float(logs2["discloss"]) == 0.0  # gated before disc_start
