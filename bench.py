@@ -11,7 +11,7 @@ against a documented engineering estimate of the torch fp32 eager pipeline
 on one V100: ~10.5 TFLOPs/image (400 CFG UNet calls + decode) at ~30% of
 15.7 TFLOPs peak => ~0.45 img/s; vs_baseline uses 0.45.
 
-Env overrides: BENCH_BATCH (default 8), BENCH_STEPS (default 200),
+Env overrides: BENCH_BATCH (default 32), BENCH_STEPS (default 200),
 BENCH_REPEATS (default 2).
 """
 
@@ -28,7 +28,7 @@ V100_EST_IMG_PER_S = 0.45
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
     steps = int(os.environ.get("BENCH_STEPS", "200"))
     repeats = int(os.environ.get("BENCH_REPEATS", "2"))
 
@@ -61,20 +61,22 @@ def main():
                          uncond_context=uctx, steps=steps, eta=0.0,
                          guidance_scale=1.5, sampler="plms",
                          compute_dtype=jnp.bfloat16)
-        return model.decode_first_stage(params, z)
+        img = model.decode_first_stage(params, z)
+        # scalar output: on the remote-TPU (axon) platform block_until_ready
+        # does not synchronize and full-image device_get crosses the tunnel;
+        # a scalar fetch (~30 ms RTT) is the reliable timing barrier.
+        return img.mean().astype(jnp.float32)
 
     fn = jax.jit(pipeline)
 
     # warmup/compile
-    img = fn(params, rng, tokens, utokens)
-    jax.block_until_ready(img)
+    float(fn(params, rng, tokens, utokens))
 
     times = []
     for i in range(repeats):
         r = jax.random.fold_in(rng, i)
         t0 = time.perf_counter()
-        img = fn(params, r, tokens, utokens)
-        jax.block_until_ready(img)
+        float(fn(params, r, tokens, utokens))
         times.append(time.perf_counter() - t0)
 
     best = min(times)

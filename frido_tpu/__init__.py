@@ -20,3 +20,14 @@ NCHW/OIHW conversions at the boundary.
 """
 
 __version__ = "0.1.0"
+
+# Platform override: environments whose sitecustomize imports jax at
+# interpreter start (e.g. the axon TPU plugin) lock in JAX_PLATFORMS before
+# user code runs; honor an explicit FRIDO_TPU_PLATFORM by updating the
+# already-imported config (must happen before first backend use).
+import os as _os
+
+if _os.environ.get("FRIDO_TPU_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["FRIDO_TPU_PLATFORM"])

@@ -1,0 +1,77 @@
+"""Pytree checkpointing (orbax) + auto-resume.
+
+Replaces Lightning ModelCheckpoint/resume (``/root/reference/main.py:
+594-634, 721-739``): train state (params, opt, EMA, step) saved as orbax
+checkpoints under ``<logdir>/checkpoints/step_N`` with a ``last`` pointer;
+``find_resume`` scans a log root for the newest run of the same name.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _ckptr():
+    return ocp.PyTreeCheckpointer()
+
+
+def save_params(path: str, params: Any) -> None:
+    _ckptr().save(os.path.abspath(path), params, force=True)
+
+
+def restore_params(path: str, like: Any) -> Any:
+    restored = _ckptr().restore(os.path.abspath(path), item=like)
+    return restored
+
+
+def save_train_state(ckpt_dir: str, step: int, state: Any,
+                     keep: int = 3) -> str:
+    """Save under ckpt_dir/step_N and update the ``last`` pointer."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.join(ckpt_dir, f"step_{step}")
+    state_host = jax.device_get(state)
+    _ckptr().save(os.path.abspath(path), state_host, force=True)
+    with open(os.path.join(ckpt_dir, "last.json"), "w") as f:
+        json.dump({"step": step, "path": path}, f)
+    # prune old checkpoints
+    steps = sorted(
+        int(m.group(1)) for d in os.listdir(ckpt_dir)
+        if (m := re.match(r"step_(\d+)$", d)))
+    for s in steps[:-keep]:
+        import shutil
+
+        shutil.rmtree(os.path.join(ckpt_dir, f"step_{s}"),
+                      ignore_errors=True)
+    return path
+
+
+def restore_train_state(ckpt_dir: str, like: Any,
+                        step: Optional[int] = None) -> tuple[Any, int]:
+    if step is None:
+        with open(os.path.join(ckpt_dir, "last.json")) as f:
+            meta = json.load(f)
+        step = meta["step"]
+    path = os.path.join(ckpt_dir, f"step_{step}")
+    return _ckptr().restore(os.path.abspath(path), item=like), step
+
+
+def find_resume(log_root: str, name: str) -> Optional[str]:
+    """Newest experiment dir matching ``name`` that has a checkpoint
+    (the auto-resume scan of ``main.py:594-612``)."""
+    if not os.path.isdir(log_root):
+        return None
+    candidates = []
+    for d in os.listdir(log_root):
+        if name in d:
+            ckpt_dir = os.path.join(log_root, d, "checkpoints")
+            if os.path.exists(os.path.join(ckpt_dir, "last.json")):
+                candidates.append(os.path.join(log_root, d))
+    if not candidates:
+        return None
+    return max(candidates, key=os.path.getmtime)

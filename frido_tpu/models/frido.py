@@ -439,6 +439,63 @@ class FridoDiffusion:
                                uncond_context, x_T=x_T, x_init=x_init)
 
 
+    # ------------------------------------------------------------------
+    # visualization (frido.py:1454-1590)
+    # ------------------------------------------------------------------
+    def log_images(self, params, batch, rng=None, n: int = 8,
+                   ddim_steps: int = 200, ddim_eta: float = 1.0,
+                   sample_flag: bool = True, dataset=None):
+        """inputs / reconstruction / conditioning render / samples."""
+        import jax
+
+        from frido_tpu.utils import visualize as vz
+
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        log = {}
+        image = np.asarray(batch["image"], np.float32)[:n]
+        x = jnp.asarray(image)
+        log["inputs"] = image
+        if "file_name" in batch:
+            log["file_name"] = batch["file_name"][:n]
+        z = self.encode_first_stage(params, x)
+        log["reconstruction"] = np.asarray(
+            self.decode_first_stage(params, z))
+
+        ctx = None
+        key = self.cond_stage_key
+        if self.cond_wrapper is not None:
+            cond = batch[key] if key in batch else batch
+            if isinstance(cond, list):
+                cond = cond[:n]
+            tokens = np.asarray(self.tokenize(cond))[:n]
+            ctx = self.get_learned_conditioning(params, jnp.asarray(tokens))
+            wh = (image.shape[2], image.shape[1])
+            if key == "caption":
+                log["conditioning"] = vz.log_txt_as_img(wh, batch["caption"][:n])
+            elif key == "objects" and dataset is not None:
+                labels = [[dataset.get_textual_label_for_category_no(int(t))
+                           for t in row if t != dataset.conditional_builders[
+                               "objects"].none]
+                          for row in tokens]
+                log["conditioning"] = vz.log_txt_as_img(wh, labels)
+            elif key == "objects_bbox" and dataset is not None:
+                builder = dataset.conditional_builders["objects_bbox"]
+                log["conditioning"] = np.stack([
+                    vz.plot_bbox_conditioning(
+                        builder, row,
+                        dataset.get_textual_label_for_category_no, wh)
+                    for row in tokens])
+
+        if sample_flag:
+            samples = self.sample(
+                params, rng, x.shape[0], context=ctx,
+                steps=ddim_steps, eta=ddim_eta,
+                sampler="ddim" if ddim_eta > 0 else "plms")
+            log["samples"] = np.asarray(
+                self.decode_first_stage(params, samples))
+        return log
+
+
 class DDPM(FridoDiffusion):
     """Single-stage classic DDPM entry point (``frido.py:45-476``);
     kept for config compatibility."""

@@ -1,0 +1,221 @@
+#!/usr/bin/env python
+"""Training driver.
+
+Mirrors the public surface of ``/root/reference/main.py`` (flags: --base,
+-t, -n, -r/--resume, --scale_lr, --seed, dot-list overrides) with the
+TPU-native execution model: one pjit-compiled train step over the device
+mesh replaces Lightning DDP; checkpoints are orbax pytrees; SIGUSR1 saves
+``last``; auto-resume scans the logdir for the newest same-name run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import datetime
+import os
+import signal
+import sys
+import time
+
+import numpy as np
+import yaml
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def get_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("-n", "--name", type=str, default="")
+    p.add_argument("-r", "--resume", type=str, default="")
+    p.add_argument("-b", "--base", nargs="*", metavar="base_config.yaml",
+                   default=[])
+    p.add_argument("-t", "--train", type=str2bool, default=False, nargs="?",
+                   const=True)
+    p.add_argument("--no-test", type=str2bool, default=False, nargs="?")
+    p.add_argument("-s", "--seed", type=int, default=23)
+    p.add_argument("-l", "--logdir", type=str, default="logs")
+    p.add_argument("--scale_lr", type=str2bool, default=True, nargs="?")
+    p.add_argument("--auto_resume", type=str2bool, default=False)
+    p.add_argument("--max_steps", type=int, default=-1)
+    p.add_argument("--max_epochs", type=int, default=-1)
+    p.add_argument("--ckpt_every_steps", type=int, default=0)
+    p.add_argument("--log_every_steps", type=int, default=50)
+    p.add_argument("--val_every_steps", type=int, default=2000)
+    p.add_argument("--n_devices", type=int, default=0,
+                   help="data-parallel devices (0 = all)")
+    p.add_argument("--accumulate_grad_batches", type=int, default=1)
+    p.add_argument("--img_log_every_steps", type=int, default=1000)
+    return p
+
+
+def str2bool(v):
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError("Boolean value expected.")
+
+
+class CSVLogger:
+    def __init__(self, path):
+        self.path = path
+        self.keys = None
+
+    def log(self, step, metrics):
+        metrics = {"step": step, **{k: float(v) for k, v in metrics.items()}}
+        new = self.keys is None
+        if new:
+            self.keys = list(metrics.keys())
+        with open(self.path, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=self.keys, extrasaction="ignore")
+            if new:
+                w.writeheader()
+            w.writerow(metrics)
+
+
+def batch_to_arrays(model, batch):
+    import jax.numpy as jnp
+
+    out = {"image": jnp.asarray(np.asarray(batch["image"], np.float32))}
+    key = model.cond_stage_key
+    if model.cond_wrapper is not None:
+        cond = batch[key] if key in batch else batch
+        out["tokens"] = jnp.asarray(np.asarray(model.tokenize(cond)))
+    return out
+
+
+def main():
+    args, unknown = get_parser().parse_known_args()
+    import jax
+
+    from frido_tpu.config import instantiate_from_config, load_configs
+    from frido_tpu.io import checkpoint as ckpt_io
+    from frido_tpu.parallel import mesh as pmesh
+    from frido_tpu.training import optim, trainer
+
+    now = datetime.datetime.now().strftime("%Y-%m-%dT%H-%M-%S")
+    cfg = load_configs(args.base, dotlist=[u for u in unknown if "=" in u])
+
+    name = args.name or os.path.splitext(os.path.basename(args.base[0]))[0]
+    if args.resume:
+        logdir = args.resume
+    elif args.auto_resume and (found := ckpt_io.find_resume(args.logdir, name)):
+        print(f"Auto-resuming from {found}")
+        logdir = found
+    else:
+        logdir = os.path.join(args.logdir, f"{now}_{name}")
+    ckptdir = os.path.join(logdir, "checkpoints")
+    cfgdir = os.path.join(logdir, "configs")
+    os.makedirs(ckptdir, exist_ok=True)
+    os.makedirs(cfgdir, exist_ok=True)
+    with open(os.path.join(cfgdir, f"{now}-project.yaml"), "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    # ---- model ----------------------------------------------------------
+    mp = dict(cfg["model"]["params"])
+    model = instantiate_from_config(cfg["model"])
+    rng = jax.random.PRNGKey(args.seed)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = model.init_params(rng)
+    fs_ckpt = model.first_stage_ckpt
+    if fs_ckpt and os.path.exists(fs_ckpt):
+        print(f"Loading frozen first stage from {fs_ckpt}")
+        from frido_tpu.io.torch_import import (
+            import_state_dict, load_torch_checkpoint)
+
+        sd = load_torch_checkpoint(fs_ckpt)
+        fs_tree = import_state_dict(
+            params["params"]["first_stage_model"], sd, strict=False)
+        params = {"params": {**params["params"],
+                             "first_stage_model": fs_tree}}
+
+    # ---- data -----------------------------------------------------------
+    data = instantiate_from_config(cfg["data"]).setup()
+    batch_size = cfg["data"]["params"]["batch_size"]
+
+    # ---- optimizer (LR scaling rule, main.py:793-810) -------------------
+    n_dev = args.n_devices or jax.device_count()
+    base_lr = cfg["model"]["base_learning_rate"]
+    lr = optim.scaled_learning_rate(base_lr, batch_size, n_dev,
+                                    args.accumulate_grad_batches,
+                                    args.scale_lr)
+    print(f"Setting learning rate to {lr:.2e}")
+    sched_cfg = mp.get("scheduler_config")
+    tx = optim.build_from_config(
+        lr, sched_cfg, accumulate_grad_batches=args.accumulate_grad_batches)
+    state, masked_tx = trainer.create_train_state(model, params, tx)
+
+    start_step = 0
+    if os.path.exists(os.path.join(ckptdir, "last.json")):
+        state, start_step = ckpt_io.restore_train_state(ckptdir, state)
+        print(f"Restored training state at step {start_step}")
+
+    mesh = pmesh.make_mesh(n_data=n_dev)
+    step_fn = jax.jit(
+        trainer.make_train_step(model, masked_tx),
+        in_shardings=(pmesh.replicated(mesh), pmesh.batch_sharding(mesh),
+                      pmesh.replicated(mesh)),
+        out_shardings=(pmesh.replicated(mesh), pmesh.replicated(mesh)))
+    state = pmesh.replicate(mesh, state)
+
+    logger = CSVLogger(os.path.join(logdir, "metrics.csv"))
+    from frido_tpu.training.image_logger import ImageLogger
+
+    img_logger = ImageLogger(logdir, every_steps=args.img_log_every_steps)
+
+    stop_requested = {"save": False}
+    signal.signal(signal.SIGUSR1, lambda *_: stop_requested.update(save=True))
+
+    def save(step):
+        ckpt_io.save_train_state(ckptdir, step, state)
+        print(f"Saved checkpoint at step {step}")
+
+    if not args.train:
+        print("Train flag not set (-t True); exiting after setup.")
+        return
+
+    step = start_step
+    epoch = 0
+    t_last = time.time()
+    try:
+        while True:
+            epoch += 1
+            if args.max_epochs > 0 and epoch > args.max_epochs:
+                break
+            for batch in data.train_dataloader():
+                arrays = pmesh.shard_batch(mesh, batch_to_arrays(model, batch))
+                state, logs = step_fn(state, arrays, rng)
+                step += 1
+                if step % args.log_every_steps == 0:
+                    logs = jax.device_get(logs)
+                    dt = time.time() - t_last
+                    t_last = time.time()
+                    ips = args.log_every_steps * batch_size / dt
+                    logger.log(step, {**logs, "img_per_s": ips})
+                    print(f"step {step} loss {float(logs['loss']):.4f} "
+                          f"({ips:.1f} img/s)")
+                if img_logger.should_log(step):
+                    try:
+                        img_logger.log_train(
+                            model, jax.device_get(state.params), batch, step,
+                            dataset=data.datasets.get("train"))
+                    except Exception as e:  # logging must never kill a run
+                        print(f"image logging failed: {e}")
+                if args.ckpt_every_steps and step % args.ckpt_every_steps == 0:
+                    save(step)
+                if stop_requested["save"]:
+                    save(step)
+                    stop_requested["save"] = False
+                if args.max_steps > 0 and step >= args.max_steps:
+                    raise StopIteration
+            save(step)
+    except (StopIteration, KeyboardInterrupt):
+        save(step)
+
+
+if __name__ == "__main__":
+    main()

