@@ -48,6 +48,7 @@ class SamplerConfig:
     kind: str = "plms"           # 'plms' | 'ddim'
     temperature: float = 1.0
     discretize: str = "uniform"
+    keep_intermediates: bool = False
 
     @property
     def offset(self) -> int:
@@ -137,12 +138,14 @@ def _sample_stage_ddim(cfg, dd, eps, x, stage, rng):
         tb = jnp.full((b,), inp["t"], dtype=jnp.int32)
         e_w = eps(x, tb)
         x_w = x[..., start:end]
-        x_prev, _ = _ddim_update(x_w, e_w, inp["a_t"], inp["a_prev"],
-                                 inp["sqrt_1ma"], inp["sigma"], inp["noise"])
-        return x.at[..., start:end].set(x_prev), None
+        x_prev, pred = _ddim_update(x_w, e_w, inp["a_t"], inp["a_prev"],
+                                    inp["sqrt_1ma"], inp["sigma"],
+                                    inp["noise"])
+        x = x.at[..., start:end].set(x_prev)
+        return x, (x if cfg.keep_intermediates else None)
 
-    x, _ = jax.lax.scan(step, x, xs)
-    return x
+    x, inter = jax.lax.scan(step, x, xs)
+    return (x, inter) if cfg.keep_intermediates else x
 
 
 def _plms_combine(order: jnp.ndarray, e_t, h1, h2, h3):
@@ -191,11 +194,12 @@ def _sample_stage_plms(cfg, dd, eps, x, stage, rng):
             x_w, e_prime, xs["a_t"][i], xs["a_prev"][i], xs["sqrt_1ma"][i],
             xs["sigma"][i], xs["noise"][i])
         x = x.at[..., start:end].set(x_prev)
-        return (x, (e_t, h1, h2)), None
+        return (x, (e_t, h1, h2)), (x if cfg.keep_intermediates else None)
 
+    inter = None
     if S > 1:
-        (x, _), _ = jax.lax.scan(step, (x, hist), jnp.arange(1, S))
-    return x
+        (x, _), inter = jax.lax.scan(step, (x, hist), jnp.arange(1, S))
+    return (x, inter) if cfg.keep_intermediates else x
 
 
 def sample(cfg: SamplerConfig, eps_model: EpsModel, rng,
@@ -223,11 +227,20 @@ def sample(cfg: SamplerConfig, eps_model: EpsModel, rng,
         x = jax.random.normal(init_key, shape)
 
     stage_fn = _sample_stage_plms if cfg.kind == "plms" else _sample_stage_ddim
+    intermediates = []
     for s in range(cfg.num_stage):
         if x_T is not None and s == 0:
             continue  # adopt x_T as the finished stage 0 (plms.py:151-153)
         rng, stage_key = jax.random.split(rng)
         eps = _make_eps_window(cfg, eps_model, context, uncond_context, s)
-        x = stage_fn(cfg, dd, eps, x, s, stage_key)
+        out = stage_fn(cfg, dd, eps, x, s, stage_key)
+        if cfg.keep_intermediates:
+            x, inter = out
+            if inter is not None:
+                intermediates.append(inter)
+        else:
+            x = out
         x = _stage_smooth(cfg, x, s)
+    if cfg.keep_intermediates:
+        return x, intermediates
     return x

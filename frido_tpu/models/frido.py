@@ -495,6 +495,66 @@ class FridoDiffusion:
                 self.decode_first_stage(params, samples))
         return log
 
+    def log_rows(self, params, batch, rng=None, n_row: int = 2,
+                 ddim_steps: int = 50, log_every_t: int = 10):
+        """Diffusion / denoise galleries (``frido.py:1526-1583``):
+        ``diffusion_row`` = decoded q_sample snapshots per stage;
+        ``denoise_row`` = decoded sampler intermediates."""
+        import jax
+
+        from frido_tpu.diffusion import samplers
+        from frido_tpu.utils import visualize as vz
+
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        image = jnp.asarray(np.asarray(batch["image"], np.float32)[:n_row])
+        z = self.encode_first_stage(params, image)
+        log = {}
+
+        # diffusion row: forward noising snapshots, coarse stage last
+        snaps = []
+        noise_key, rng = jax.random.split(rng)
+        noise = jax.random.normal(noise_key, z.shape)
+        for s in range(self.num_stage - 1, -1, -1):
+            for t_val in range(0, self.timesteps, max(log_every_t, 1)):
+                t = jnp.full((z.shape[0],), t_val, jnp.int32)
+                zn = self.q_sample_stage(z, t, s, noise)
+                snaps.append(np.asarray(
+                    self.decode_first_stage(params, zn)))
+        row = np.stack(snaps, axis=1)  # [B, S, H, W, C]
+        log["diffusion_row"] = np.stack(
+            [vz.make_grid(r, nrow=len(snaps)) for r in row])
+
+        # denoise row: sampler intermediates decoded
+        ctx = None
+        if self.cond_wrapper is not None:
+            key = self.cond_stage_key
+            cond = batch[key] if key in batch else batch
+            if isinstance(cond, list):
+                cond = cond[:n_row]
+            tokens = np.asarray(self.tokenize(cond))[:n_row]
+            ctx = self.get_learned_conditioning(params, jnp.asarray(tokens))
+        cfg = samplers.SamplerConfig(
+            schedule=self.schedule, num_steps=ddim_steps, eta=0.0,
+            guidance_scale=1.0, embed_dim_list=tuple(self.embed_dim_list),
+            use_split_head=self.use_split_head, num_stage=self.num_stage,
+            kind="plms", keep_intermediates=True)
+        eps_model = lambda xx, tt, cc, ss: self.apply_model(
+            params, xx, tt, cc, ss)
+        final, inters = samplers.sample(
+            cfg, eps_model, rng,
+            (n_row, self.image_size, self.image_size, self.channels), ctx)
+        stride = max(ddim_steps // 5, 1)
+        decoded = []
+        for stage_inter in inters:
+            for i in range(0, stage_inter.shape[0], stride):
+                decoded.append(np.asarray(
+                    self.decode_first_stage(params, stage_inter[i])))
+        decoded.append(np.asarray(self.decode_first_stage(params, final)))
+        row = np.stack(decoded, axis=1)
+        log["denoise_row"] = np.stack(
+            [vz.make_grid(r, nrow=row.shape[1]) for r in row])
+        return log
+
 
 class DDPM(FridoDiffusion):
     """Single-stage classic DDPM entry point (``frido.py:45-476``);
