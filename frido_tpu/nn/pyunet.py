@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from frido_tpu.nn.layers import Conv1d, Conv2d, Dense, Embed, GroupNorm, silu
 from frido_tpu.nn.spade import SPADE
-from frido_tpu.nn.transformer import SpatialTransformer
+from frido_tpu.nn.transformer import SpatialTransformer, dot_attention
 from frido_tpu.ops.image import avg_pool_2x, interpolate_nearest_2x
 
 
@@ -159,12 +159,7 @@ def qkv_attention_legacy(qkv: jnp.ndarray, n_heads: int) -> jnp.ndarray:
     q = x[:, :, :, 0].transpose(0, 2, 1, 3)  # [N, H, T, c]
     k = x[:, :, :, 1].transpose(0, 2, 1, 3)
     v = x[:, :, :, 2].transpose(0, 2, 1, 3)
-    scale = 1.0 / math.sqrt(math.sqrt(ch))
-    w = jnp.einsum("nhtc,nhsc->nhts", q * scale, k * scale,
-                   preferred_element_type=jnp.float32)
-    w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(qkv.dtype)
-    a = jnp.einsum("nhts,nhsc->nhtc", w, v,
-                   preferred_element_type=jnp.float32).astype(qkv.dtype)
+    a = dot_attention(q, k, v, 1.0 / math.sqrt(ch))
     return a.transpose(0, 2, 1, 3).reshape(n, t, n_heads * ch)
 
 
@@ -177,12 +172,7 @@ def qkv_attention_new(qkv: jnp.ndarray, n_heads: int) -> jnp.ndarray:
     q = q.reshape(n, t, n_heads, ch).transpose(0, 2, 1, 3)
     k = k.reshape(n, t, n_heads, ch).transpose(0, 2, 1, 3)
     v = v.reshape(n, t, n_heads, ch).transpose(0, 2, 1, 3)
-    scale = 1.0 / math.sqrt(math.sqrt(ch))
-    w = jnp.einsum("nhtc,nhsc->nhts", q * scale, k * scale,
-                   preferred_element_type=jnp.float32)
-    w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(qkv.dtype)
-    a = jnp.einsum("nhts,nhsc->nhtc", w, v,
-                   preferred_element_type=jnp.float32).astype(qkv.dtype)
+    a = dot_attention(q, k, v, 1.0 / math.sqrt(ch))
     return a.transpose(0, 2, 1, 3).reshape(n, t, n_heads * ch)
 
 

@@ -20,9 +20,31 @@ from frido_tpu.nn.spade import SPADE
 from frido_tpu.ops.image import interpolate_nearest
 
 
+# Measured on v5e (chained-dispatch timing, bq=bk=1024): the Pallas kernel
+# beats XLA dot-softmax-dot ~1.5-2.3x for long self-attention (kv >= 512
+# latent tokens) but loses on short-kv cross-attention (77-180 text tokens,
+# lane padding dominates) and tiny grids.
+_FLASH_MIN_KV = 512
+_FLASH_MIN_SCORES = 1 << 21
+
+
 def dot_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                   scale: float) -> jnp.ndarray:
-    """softmax(q k^T * scale) v over [..., T, d] tensors, fp32 softmax."""
+    """softmax(q k^T * scale) v over [..., T, d] tensors, fp32 softmax.
+
+    Large score matrices route to the Pallas flash-attention kernel
+    (``frido_tpu.ops.pallas.attention``) on TPU; the einsum form is the
+    reference semantics and the small-shape / CPU path.
+    """
+    from frido_tpu.ops.pallas import flash_attention, use_pallas
+
+    batch = 1
+    for s in q.shape[:-2]:
+        batch *= s
+    scores = batch * q.shape[-2] * k.shape[-2]
+    if (use_pallas() and k.shape[-2] >= _FLASH_MIN_KV
+            and scores >= _FLASH_MIN_SCORES):
+        return flash_attention(q, k, v, scale)
     sim = jnp.einsum("...id,...jd->...ij", q, k,
                      preferred_element_type=jnp.float32) * scale
     attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(q.dtype)

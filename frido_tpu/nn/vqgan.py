@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from frido_tpu.nn.layers import Conv2d, GroupNorm, silu
+from frido_tpu.nn.transformer import dot_attention
 from frido_tpu.ops.image import interpolate_nearest_2x, pad_nhwc
 
 
@@ -81,12 +82,7 @@ class AttnBlock(nn.Module):
         q = self.q(hn).reshape(b, h * w, c)
         k = self.k(hn).reshape(b, h * w, c)
         v = self.v(hn).reshape(b, h * w, c)
-        logits = jnp.einsum(
-            "bic,bjc->bij", q, k, preferred_element_type=jnp.float32
-        ) * (c ** -0.5)
-        attn = jax.nn.softmax(logits.astype(jnp.float32), axis=2).astype(x.dtype)
-        out = jnp.einsum("bij,bjc->bic", attn, v,
-                         preferred_element_type=jnp.float32).astype(x.dtype)
+        out = dot_attention(q, k, v, c ** -0.5)
         return x + self.proj_out(out.reshape(b, h, w, c))
 
 

@@ -5,15 +5,19 @@ The hot op of the MS-VQGAN first stage
 latent vector find the nearest codebook entry by L2 distance and gather it.
 
 The distance matrix ``|z|^2 + |e|^2 - 2 z.e^T`` is a single [N, D] x [D, K]
-matmul — ideal MXU work — so the XLA formulation below is already
-near-optimal on TPU; a fused Pallas variant (distance + argmin + gather in
-VMEM, no [N, K] HBM round-trip) lives in ``frido_tpu.ops.pallas.vq_pallas``
-and is selected automatically for large N*K.
+matmul — ideal MXU work — but the [N, K] distance tensor round-trips HBM;
+the fused Pallas variant (tiled distance + running argmin in VMEM) in
+``frido_tpu.ops.pallas.vq_pallas`` is selected automatically on TPU for
+large N*K.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
+
+# distance tensor below this many f32 elements fits comfortably in cache /
+# fusion buffers; the pallas kernel only wins above it
+_PALLAS_MIN_NK = 1 << 22
 
 
 def vq_distances(z_flat: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
@@ -39,10 +43,16 @@ def vq_lookup(z: jnp.ndarray, codebook: jnp.ndarray):
       (z_q, indices): quantized latent of z's shape and int32 indices of
       shape z.shape[:-1].
     """
+    from frido_tpu.ops.pallas import use_pallas, vq_argmin
+
     d = z.shape[-1]
     lead = z.shape[:-1]
     z_flat = z.reshape(-1, d)
-    dist = vq_distances(z_flat, codebook)
-    idx = jnp.argmin(dist, axis=1)
+    n, k = z_flat.shape[0], codebook.shape[0]
+    if use_pallas() and n * k >= _PALLAS_MIN_NK:
+        idx = vq_argmin(z_flat, codebook)
+    else:
+        dist = vq_distances(z_flat, codebook)
+        idx = jnp.argmin(dist, axis=1)
     z_q = jnp.take(codebook, idx, axis=0).astype(z.dtype)
     return z_q.reshape(z.shape), idx.reshape(lead).astype(jnp.int32)

@@ -18,6 +18,14 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is dominated by XLA compiles of the
+# UNet/VQGAN test graphs; caching makes re-runs minutes instead of tens of
+# minutes.
+_CACHE_DIR = os.environ.get("JAX_TEST_CACHE", "/root/.cache/jax_test_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import pathlib
 import sys
 

@@ -1,0 +1,91 @@
+"""Pallas kernel numerics vs. the jnp reference formulations.
+
+Runs the TPU kernels through the Pallas interpreter on the CPU test
+platform (SURVEY.md §4: unit tests per kernel — "VQ lookup vs. naive
+argmin"); on real TPU the same code compiles via Mosaic.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from frido_tpu.ops.pallas.attention import (_reference_attention,
+                                            flash_attention)
+from frido_tpu.ops.pallas.vq_pallas import vq_argmin
+from frido_tpu.ops.vq import vq_distances
+
+
+@pytest.mark.parametrize("nq,nk,d", [
+    (256, 256, 64),     # latent self-attention tile
+    (1024, 77, 64),     # text cross-attention (ragged kv -> lane padding)
+    (100, 100, 32),     # unaligned both axes
+    (4096, 4096, 64),   # deepest latent grid, multiple kv blocks
+])
+def test_flash_attention_matches_reference(nq, nk, d):
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(k1, (2, nq, d), jnp.float32)
+    k = jax.random.normal(k2, (2, nk, d), jnp.float32)
+    v = jax.random.normal(k3, (2, nk, d), jnp.float32)
+    scale = d ** -0.5
+    got = flash_attention(q, k, v, scale, block_q=128, block_k=256)
+    want = _reference_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_attention_multihead_layout():
+    # 4-D [b, h, n, d] path used by CrossAttention
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    q = jax.random.normal(k1, (2, 4, 64, 32), jnp.float32)
+    kv = jax.random.normal(k2, (2, 4, 48, 32), jnp.float32)
+    got = flash_attention(q, kv, kv, 32 ** -0.5, block_q=128, block_k=128)
+    want = _reference_attention(q.reshape(8, 64, 32), kv.reshape(8, 48, 32),
+                                kv.reshape(8, 48, 32), 32 ** -0.5)
+    np.testing.assert_allclose(np.asarray(got).reshape(8, 64, 32),
+                               np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_attention_gradients_match_reference():
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(2), 3)
+    q = jax.random.normal(k1, (1, 64, 16), jnp.float32)
+    k = jax.random.normal(k2, (1, 40, 16), jnp.float32)
+    v = jax.random.normal(k3, (1, 40, 16), jnp.float32)
+    scale = 0.25
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, scale, block_q=128,
+                                       block_k=128) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_reference_attention(q, k, v, scale) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("n,k,d", [
+    (512, 512, 4),       # tiny codebook, single block
+    (1000, 300, 8),      # unaligned N and K (codebook padding masked)
+    (4096, 8192, 4),     # f16 scale production shape, multiple k blocks
+])
+def test_vq_argmin_matches_naive(n, k, d):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    z = jax.random.normal(k1, (n, d), jnp.float32)
+    e = jax.random.normal(k2, (k, d), jnp.float32)
+    got = vq_argmin(z, e, block_n=256, block_k=1024)
+    want = jnp.argmin(vq_distances(z, e), axis=1).astype(jnp.int32)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_vq_argmin_tie_breaks_to_first_index():
+    # duplicated codebook rows: argmin must pick the first (torch semantics,
+    # quantize.py:279-284)
+    e = jnp.concatenate([jnp.ones((4, 4)), jnp.ones((4, 4)),
+                         jnp.zeros((4, 4))], axis=0)
+    z = jnp.ones((16, 4))
+    idx = vq_argmin(z, e, block_n=8, block_k=4)
+    np.testing.assert_array_equal(np.asarray(idx), np.zeros(16, np.int32))
