@@ -37,6 +37,8 @@ _TARGET_ALIASES: Dict[str, str] = {
     "frido.modules.encoders.modules.TransformerEmbedder": "frido_tpu.nn.encoders.TransformerEmbedder",
     "frido.modules.encoders.modules.SpatialRescaler": "frido_tpu.nn.encoders.SpatialRescaler",
     "frido.modules.encoders.modules.FrozenCLIPEmbedder": "frido_tpu.nn.encoders.FrozenCLIPEmbedder",
+    "frido.modules.encoders.modules.FrozenCLIPTextEmbedder": "frido_tpu.nn.encoders.FrozenCLIPTextEmbedder",
+    "frido.modules.encoders.modules.FrozenClipImageEmbedder": "frido_tpu.nn.encoders.FrozenClipImageEmbedder",
     # losses (taming/modules/losses/*, frido/modules/losses/*)
     "taming.modules.losses.DummyLoss": "frido_tpu.losses.vqperceptual.DummyLoss",
     "taming.modules.losses.vqperceptual.DummyLoss": "frido_tpu.losses.vqperceptual.DummyLoss",

@@ -203,18 +203,109 @@ class SpatialRescaler:
         return cond
 
 
+class CLIPTokenizerHost:
+    """HuggingFace CLIPTokenizer wrapper, host-side like BERTTokenizerHost.
+
+    Needs the CLIP BPE vocab locally (HF cache or
+    ``FRIDO_TPU_CLIP_TOKENIZER`` path); the environment has no egress.
+    """
+
+    def __init__(self, version: str, max_length: int = 77):
+        import os
+
+        from transformers import CLIPTokenizer
+
+        src = os.environ.get("FRIDO_TPU_CLIP_TOKENIZER", version)
+        try:
+            self.tokenizer = CLIPTokenizer.from_pretrained(src)
+        except Exception as e:  # no cache, no egress
+            raise RuntimeError(
+                "CLIP tokenizer unavailable locally; set "
+                "FRIDO_TPU_CLIP_TOKENIZER to a local tokenizer dir"
+            ) from e
+        self.max_length = max_length
+
+    def __call__(self, texts):
+        import numpy as np
+
+        enc = self.tokenizer(
+            texts, truncation=True, max_length=self.max_length,
+            padding="max_length", return_tensors="np")
+        return np.asarray(enc["input_ids"], dtype="int32")
+
+
 class FrozenCLIPEmbedder:
-    """CLIP text encoder via transformers Flax weights; requires a local
-    checkpoint (zero-egress environment). Used by the clip-t2i config
-    (FID 10.74 row in BASELINE.md)."""
+    """CLIP text encoder returning per-token last_hidden_state
+    (``modules.py:159-185``). Used by the clip-t2i config (FID 10.74 row
+    in BASELINE.md). The tower is the native flax implementation in
+    ``frido_tpu.nn.clip`` (weight-compatible with the HF
+    ``transformer.text_model.*`` torch key tree); tokenization needs a
+    local CLIP vocab (no egress here)."""
 
     def __init__(self, version: str = "openai/clip-vit-large-patch14",
                  device: str = "", max_length: int = 77):
         self.version = version
         self.max_length = max_length
+        self._tokenizer = None
 
     def build_module(self, name: str = "cond_stage_model"):
-        raise NotImplementedError(
-            "FrozenCLIPEmbedder needs local CLIP weights; set up a local "
-            "snapshot of openai/clip-vit-large-patch14 and extend "
-            "frido_tpu.nn.encoders (no egress in this environment)")
+        from frido_tpu.nn.clip import CLIPTextModule
+
+        return CLIPTextModule(max_positions=self.max_length, name=name)
+
+    def tokenize(self, cond):
+        import numpy as np
+
+        if not isinstance(cond, (list, tuple)) or (
+                cond and not isinstance(cond[0], str)):
+            return np.asarray(cond, dtype="int32")
+        if self._tokenizer is None:
+            self._tokenizer = CLIPTokenizerHost(self.version, self.max_length)
+        return self._tokenizer(cond)
+
+
+class FrozenCLIPTextEmbedder(FrozenCLIPEmbedder):
+    """Pooled, normalized, k-repeated CLIP text embedding
+    (``modules.py:188-219``)."""
+
+    def __init__(self, version: str = "openai/clip-vit-large-patch14",
+                 device: str = "", max_length: int = 77, n_repeat: int = 1,
+                 normalize: bool = True):
+        super().__init__(version, device, max_length)
+        self.n_repeat = n_repeat
+        self.normalize = normalize
+
+    def build_module(self, name: str = "cond_stage_model"):
+        from frido_tpu.nn.clip import CLIPTextPooledModule
+
+        return CLIPTextPooledModule(max_positions=self.max_length,
+                                    n_repeat=self.n_repeat,
+                                    normalize=self.normalize, name=name)
+
+
+class FrozenClipImageEmbedder:
+    """CLIP image encoder over [-1, 1] images (``modules.py:221-254``):
+    bicubic 224 resize + CLIP normalization + ViT tower."""
+
+    def __init__(self, model: str = "ViT-L/14", jit: bool = False,
+                 device: str = "", antialias: bool = False):
+        self.model = model
+
+    def build_module(self, name: str = "cond_stage_model"):
+        import flax.linen as fnn
+
+        from frido_tpu.nn.clip import CLIPVisionTower, clip_preprocess
+
+        class _Wrapped(fnn.Module):
+            def setup(self):
+                self.tower = CLIPVisionTower(name="model__visual")
+
+            def __call__(self, x):
+                return self.tower(clip_preprocess(x))
+
+        return _Wrapped(name=name)
+
+    def tokenize(self, cond):
+        import numpy as np
+
+        return np.asarray(cond, dtype="float32")

@@ -98,11 +98,38 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+# VMEM budget for block auto-sizing. The hard limit is 16 MiB/core; leave
+# headroom for Mosaic's own temporaries.
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _vmem_bytes(bq: int, bk: int, d: int, itemsize: int) -> int:
+    """Rough VMEM footprint: double-buffered q/k/v/out blocks + f32 score
+    tile + accumulator + running max/sum."""
+    io_blocks = 2 * (bq * d + 2 * bk * d + bq * d) * itemsize
+    scores = bq * bk * 4
+    acc = bq * d * 4 + 2 * bq * 128 * 4
+    return io_blocks + scores + acc
+
+
+def _fit_blocks(bq: int, bk: int, d: int, itemsize: int):
+    """Halve the larger block until the kernel fits the VMEM budget
+    (head_dim up to 512 appears in the VQGAN mid-block attention)."""
+    while _vmem_bytes(bq, bk, d, itemsize) > _VMEM_BUDGET and (
+            bq > 128 or bk > 128):
+        if bq >= bk and bq > 128:
+            bq //= 2
+        else:
+            bk //= 2
+    return bq, bk
+
+
 def _flash_forward(q, k, v, scale, block_q, block_k, interpret):
     b, nq, d = q.shape
     nk = k.shape[1]
     bq = min(block_q, _round_up(nq, 128))
     bk = min(block_k, _round_up(nk, 128))
+    bq, bk = _fit_blocks(bq, bk, d, q.dtype.itemsize)
     nq_pad = _round_up(nq, bq)
     nk_pad = _round_up(nk, bk)
     if nq_pad != nq:

@@ -1,0 +1,95 @@
+"""End-to-end VG preprocessing: raw VG JSONs -> sg2im h5 -> sg captions.
+
+Covers ``scripts/preprocess_vg_sg2im.py`` and its handoff to
+``scripts/preprocess_vg_to_sg.py`` (the sg2i data path, SURVEY.md §2.6).
+"""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+@pytest.fixture
+def vg_root(tmp_path):
+    """Synthetic VG dump: 12 images, each with 3 frequent objects and one
+    relationship over a frequent predicate."""
+    ids = list(range(1, 13))
+    images, objects, rels, attrs = [], [], [], []
+    for iid in ids:
+        images.append(dict(image_id=iid, width=640, height=480,
+                           url=f"http://vg/VG_100K/{iid}.jpg"))
+        objs = []
+        for j, name in enumerate(["person", "dog", "tree"]):
+            objs.append(dict(object_id=iid * 10 + j, names=[name],
+                             x=10 * j, y=5 * j, w=100, h=120))
+        objects.append(dict(image_id=iid, objects=objs))
+        rels.append(dict(image_id=iid, relationships=[dict(
+            relationship_id=iid, predicate="next to",
+            subject=dict(object_id=iid * 10 + 0),
+            object=dict(object_id=iid * 10 + 1))]))
+        attrs.append(dict(image_id=iid, attributes=[dict(
+            object_id=iid * 10 + 0, attributes=["tall"])]))
+    for name, payload in [("image_data.json", images),
+                          ("objects.json", objects),
+                          ("relationships.json", rels),
+                          ("attributes.json", attrs)]:
+        (tmp_path / name).write_text(json.dumps(payload))
+    return tmp_path
+
+
+def test_preprocess_vg_sg2im_h5_schema(vg_root):
+    r = subprocess.run(
+        [sys.executable, str(REPO / "scripts/preprocess_vg_sg2im.py"),
+         "--vg_dir", str(vg_root), "--min_object_instances", "2",
+         "--min_attribute_instances", "2",
+         "--min_relationship_instances", "2",
+         "--min_objects_per_image", "2"],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+
+    vocab = json.loads((vg_root / "vocab.json").read_text())
+    assert vocab["object_idx_to_name"][0] == "__image__"
+    assert vocab["pred_idx_to_name"][0] == "__in_image__"
+    assert set(vocab["object_name_to_idx"]) >= {"person", "dog", "tree"}
+    assert "next to" in vocab["pred_name_to_idx"]
+
+    import h5py
+    with h5py.File(vg_root / "train.h5") as f:
+        n = f["image_ids"].shape[0]
+        assert n > 0
+        assert f["object_names"].shape[0] == n
+        assert f["object_boxes"].shape[2] == 4
+        opi = f["objects_per_image"][...]
+        assert (opi == 3).all()
+        rpi = f["relationships_per_image"][...]
+        assert (rpi == 1).all()
+        # padding convention
+        names = f["object_names"][...]
+        assert (names[:, 3:] == -1).all() if names.shape[1] > 3 else True
+        preds = f["relationship_predicates"][0]
+        assert preds[0] == vocab["pred_name_to_idx"]["next to"]
+
+
+def test_h5_feeds_sg_caption_script(vg_root):
+    subprocess.run(
+        [sys.executable, str(REPO / "scripts/preprocess_vg_sg2im.py"),
+         "--vg_dir", str(vg_root), "--min_object_instances", "2",
+         "--min_attribute_instances", "2",
+         "--min_relationship_instances", "2",
+         "--min_objects_per_image", "2"],
+        check=True, capture_output=True)
+    # image_data.json with only kept ids is what vg_to_sg expects
+    r = subprocess.run(
+        [sys.executable, str(REPO / "scripts/preprocess_vg_to_sg.py"),
+         "--base_dir", str(vg_root), "--split", "train"],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    out = json.loads((vg_root / "train_sg.json").read_text())
+    caps = {a["caption"] for a in out["annotations"]}
+    assert any("next to" in c for c in caps), caps
