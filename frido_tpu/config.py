@@ -36,6 +36,7 @@ _TARGET_ALIASES: Dict[str, str] = {
     "frido.modules.encoders.modules.ClassEmbedder": "frido_tpu.nn.encoders.ClassEmbedder",
     "frido.modules.encoders.modules.TransformerEmbedder": "frido_tpu.nn.encoders.TransformerEmbedder",
     "frido.modules.encoders.modules.SpatialRescaler": "frido_tpu.nn.encoders.SpatialRescaler",
+    "frido.modules.encoders.modules.BERTEmbedderVQTInterface": "frido_tpu.nn.encoders.BERTEmbedderVQTInterface",
     "frido.modules.encoders.modules.FrozenCLIPEmbedder": "frido_tpu.nn.encoders.FrozenCLIPEmbedder",
     "frido.modules.encoders.modules.FrozenCLIPTextEmbedder": "frido_tpu.nn.encoders.FrozenCLIPTextEmbedder",
     "frido.modules.encoders.modules.FrozenClipImageEmbedder": "frido_tpu.nn.encoders.FrozenClipImageEmbedder",

@@ -177,6 +177,30 @@ class ClassEmbedder:
         return np.asarray(cond, dtype="int32")
 
 
+class BERTEmbedderVQTInterface:
+    """Tokenizer exposed through the VQ-model interface
+    (``modules.py:116-125``): ``encode`` returns the tokens in the
+    ``(quant, loss, (..., indices))`` slot shape so a text stream can stand
+    in for a codebook stream; ``decode`` is identity."""
+
+    def __init__(self, device: str = "", vq_interface: bool = True,
+                 max_length: int = 77):
+        self.max_length = max_length
+        self._tokenizer = None
+
+    def tokenize(self, texts):
+        if self._tokenizer is None:
+            self._tokenizer = BERTTokenizerHost(self.max_length)
+        return self._tokenizer(texts)
+
+    def encode(self, c):
+        tokens = self.tokenize(c)
+        return c, None, [None, None, tokens]
+
+    def decode(self, c):
+        return c
+
+
 class TransformerEmbedder(BERTEmbedder):
     """``modules.py:42-56`` — raw-token transformer encoder."""
 
