@@ -50,6 +50,8 @@ def get_parser():
                    help="sample with raw weights instead of EMA")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--profile", type=str, default="",
+                   help="jax.profiler trace dir (view in xprof/TensorBoard)")
     return p
 
 
@@ -145,7 +147,13 @@ def main():
     import jax.numpy as jnp
 
     from frido_tpu.config import instantiate_from_config, load_configs
+    from frido_tpu.utils.profiling import trace
 
+    with trace(args.profile):
+        _run(args, jax, jnp, instantiate_from_config, load_configs)
+
+
+def _run(args, jax, jnp, instantiate_from_config, load_configs):
     cfg = load_configs([args.cfg_path])
     model, params = build_model(cfg, args.resume, use_ema=not args.no_ema)
     params = jax.device_put(params, jax.devices()[0])
