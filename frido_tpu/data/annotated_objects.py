@@ -174,10 +174,39 @@ class AnnotatedObjectsDataset:
         sample["flipped"] = None
         if "image" in self.keys:
             sample["image_path"] = str(self.get_image_path(image_id))
-            img = self.load_image_from_disk(sample["image_path"])
-            (sample["crop_bbox"], sample["flipped"],
-             sample["image"]) = self.pipeline(img)
+            loaded = self._load_native(sample["image_path"])
+            if loaded is not None:
+                (sample["crop_bbox"], sample["flipped"],
+                 sample["image"]) = loaded
+            else:
+                img = self.load_image_from_disk(sample["image_path"])
+                (sample["crop_bbox"], sample["flipped"],
+                 sample["image"]) = self.pipeline(img)
         return sample
+
+    def _load_native(self, path: str):
+        """C++ fast path (frido_tpu.data.native_loader): header-only dims ->
+        same crop/flip draws -> native decode+resample+normalize. Returns
+        None (-> PIL fallback) for non-JPEGs or when the library is
+        unavailable."""
+        from frido_tpu.data import native_loader as nl
+
+        if self.pipeline is None or not path.lower().endswith(
+                (".jpg", ".jpeg")) or not nl.available():
+            return None
+        dims = nl.jpeg_dims(path)
+        if dims is None:
+            return None
+        (rw, rh, cx, cy, cw, ch, flip), crop_bbox, flipped = (
+            self.pipeline.spec(*dims))
+        try:
+            img = nl.load_one(
+                path, self.pipeline.size,
+                resize_to=(rw, rh) if rw else None,
+                crop=(cx, cy, cw, ch) if cw else None, flip=bool(flip))
+        except IOError:
+            return None
+        return crop_bbox, flipped, img
 
     def __getitem__(self, n: int) -> Dict[str, Any]:
         sample = self._base_sample(n)

@@ -105,3 +105,45 @@ class ImagePipeline:
                 img = img.transpose(Image.FLIP_LEFT_RIGHT)
         arr = np.asarray(img, dtype=np.float32) / 127.5 - 1.0
         return crop_bbox, flipped, arr
+
+    def spec(self, width: int, height: int):
+        """Native-loader plan: same crop/flip draws as ``__call__`` (same
+        rng call order), but returned as a (rw, rh, cx, cy, cw, ch, flip)
+        int spec for ``frido_tpu.data.native_loader`` instead of being
+        applied via PIL.
+
+        Returns (spec7, crop_bbox, flipped)."""
+        size = self.size
+        crop_bbox = None
+        m = self.crop_method
+        rw = rh = 0
+        cx = cy = cw = ch = 0
+        if m in ("center", "random-1d"):
+            if width <= height:
+                rw, rh = size, max(int(round(size * height / width)), size)
+            else:
+                rh, rw = size, max(int(round(size * width / height)), size)
+            if m == "center":
+                crop_bbox = center_crop_coords(rw, rh)
+                cx = int(round((rw - size) / 2))
+                cy = int(round((rh - size) / 2))
+            else:
+                cx = self.rng.randint(0, max(rw - size, 0))
+                cy = self.rng.randint(0, max(rh - size, 0))
+                crop_bbox = (cx / rw, cy / rh, size / rw, size / rh)
+            cw = ch = size
+        elif m == "random-2d":
+            max_size = min(width, height)
+            csize = (max_size if max_size <= size
+                     else self.rng.randint(size, max_size))
+            cy = self.rng.randint(0, height - csize)
+            cx = self.rng.randint(0, width - csize)
+            crop_bbox = (cx / width, cy / height,
+                         csize / width, csize / height)
+            cw = ch = csize
+        flipped = None
+        flip = 0
+        if self.random_flip:
+            flipped = self.rng.random() < 0.5
+            flip = int(flipped)
+        return (rw, rh, cx, cy, cw, ch, flip), crop_bbox, flipped
