@@ -69,8 +69,16 @@ def main():
 
     fn = jax.jit(pipeline)
 
-    # warmup/compile
-    float(fn(params, rng, tokens, utokens))
+    # warmup/compile — the remote-compile tunnel occasionally drops the
+    # response mid-stream on very large programs; retry before giving up
+    for attempt in range(3):
+        try:
+            float(fn(params, rng, tokens, utokens))
+            break
+        except jax.errors.JaxRuntimeError:
+            if attempt == 2:
+                raise
+            time.sleep(10)
 
     times = []
     for i in range(repeats):

@@ -118,6 +118,11 @@ class FridoModule(nn.Module):
     def decode_first_stage(self, z):
         return self.first_stage_model.decode_interface(z)
 
+    def decode_first_stage_codes(self, z):
+        """decode + per-scale codebook indices (the reference's
+        ``--get_codebook`` analysis dump, ``main.py:540-548``)."""
+        return self.first_stage_model.decode_interface(z, return_code=True)
+
     def quantize_latent(self, z):
         return self.first_stage_model.quantize_latent(z)
 
@@ -320,6 +325,12 @@ class FridoDiffusion:
     def decode_first_stage(self, params, z: jnp.ndarray) -> jnp.ndarray:
         z = self._scale_latent(z, invert=True)
         return self.module.apply(params, z, method="decode_first_stage")
+
+    def decode_first_stage_with_codes(self, params, z: jnp.ndarray):
+        """(images, [per-scale int32 code grids]) for codebook analysis."""
+        z = self._scale_latent(z, invert=True)
+        return self.module.apply(params, z,
+                                 method="decode_first_stage_codes")
 
     def get_learned_conditioning(self, params, tokens) -> jnp.ndarray:
         return self.module.apply(params, jnp.asarray(tokens),

@@ -52,6 +52,9 @@ def get_parser():
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--profile", type=str, default="",
                    help="jax.profiler trace dir (view in xprof/TensorBoard)")
+    p.add_argument("--get_codebook", action="store_true",
+                   help="also dump per-scale codebook indices "
+                        "(codes_*.npz) for analysis")
     return p
 
 
@@ -119,6 +122,8 @@ def make_pipeline(model, params, args):
     gs = args.guidance_scale if args.use_guidance else 1.0
     dtype = jnp.bfloat16 if args.bf16 else None
 
+    get_codes = getattr(args, "get_codebook", False)
+
     def pipeline(params, rng, tokens, utokens):
         ctx = model.get_learned_conditioning(params, tokens)
         uctx = (model.get_learned_conditioning(params, utokens)
@@ -128,6 +133,8 @@ def make_pipeline(model, params, args):
                          steps=args.custom_steps, eta=eta,
                          guidance_scale=gs, sampler=sampler,
                          compute_dtype=dtype)
+        if get_codes:
+            return model.decode_first_stage_with_codes(params, z)
         return model.decode_first_stage(params, z)
 
     return jax.jit(pipeline)
@@ -163,11 +170,21 @@ def _run(args, jax, jnp, instantiate_from_config, load_configs):
     out_dir = os.path.join(args.output_path, args.exp_name)
     os.makedirs(out_dir, exist_ok=True)
 
+    def run_pipeline(params, rng, tokens, utokens, batch_idx=0):
+        out = pipeline(params, rng, tokens, utokens)
+        if args.get_codebook:
+            imgs, codes = out
+            np.savez(os.path.join(out_dir, f"codes_{batch_idx:06}.npz"),
+                     **{f"scale_{i}": np.asarray(c)
+                        for i, c in enumerate(codes)})
+            return np.asarray(imgs)
+        return np.asarray(out)
+
     if args.prompt is not None:
         tokens = jnp.asarray(model.tokenize([args.prompt] * args.batch_size))
         utokens = jnp.asarray(model.tokenize([""] * args.batch_size))
         t0 = time.time()
-        imgs = np.asarray(pipeline(params, rng, tokens, utokens))
+        imgs = run_pipeline(params, rng, tokens, utokens)
         dt = time.time() - t0
         save_batch(imgs, out_dir)
         print(f"Throughput for this batch: {args.batch_size / dt:.4f}")
@@ -186,14 +203,14 @@ def _run(args, jax, jnp, instantiate_from_config, load_configs):
     n_saved = len(glob.glob(os.path.join(out_dir, "sample", "*.png")))
     total = 0
     all_samples = []
-    for batch in loader:
+    for batch_idx, batch in enumerate(loader):
         cond = batch[cond_key] if cond_key in batch else batch
         tokens = np.asarray(model.tokenize(cond))
         utokens = dummy_tokens_like(model, tokens, cond_key)
         rng, step_rng = jax.random.split(rng)
         t0 = time.time()
-        imgs = np.asarray(pipeline(params, step_rng, jnp.asarray(tokens),
-                                   jnp.asarray(utokens)))
+        imgs = run_pipeline(params, step_rng, jnp.asarray(tokens),
+                            jnp.asarray(utokens), batch_idx)
         dt = time.time() - t0
         print(f"Throughput for this batch: {imgs.shape[0] / dt:.4f}")
         names = batch.get("file_name")

@@ -144,12 +144,17 @@ def test_sample_cli_on_dataset(workspace):
     out = root / "samples"
     r = run_cli(["scripts/sample_diffusion.py", "-cfg", str(cfg_path),
                  "-o", str(out), "-plms", "-c", "4", "-bs", "2", "-G",
-                 "-gs", "1.5", "-n", "4"], REPO)
+                 "-gs", "1.5", "-n", "4", "--get_codebook"], REPO)
     assert "Throughput for this batch" in r.stdout
     pngs = list((out / "v0" / "sample").glob("*.png"))
     assert len(pngs) >= 4
     npz = list((out / "v0").glob("*samples.npz"))
     assert npz, "expected an ADM-style npz dump"
+    codes = list((out / "v0").glob("codes_*.npz"))
+    assert codes, "expected codebook-index dumps (--get_codebook)"
+    import numpy as np
+    arr = np.load(codes[0])
+    assert "scale_0" in arr and arr["scale_0"].dtype == np.int32
 
 
 def test_sample_cli_sharded(workspace):
