@@ -513,7 +513,9 @@ def pyunet_from_config(params: Dict[str, Any], name: str = "diffusion_model"
                        ) -> PyUNetModel:
     """Build PyUNetModel from a reference-format unet_config ``params``."""
     p = dict(params)
-    p.pop("use_checkpoint", None)  # remat policy is applied at train time
+    # remat is applied at train-step level (make_train_step(remat=True),
+    # driven by this flag in main.py) rather than per-block
+    p.pop("use_checkpoint", None)
     p.pop("use_fp16", None)        # dtype policy handled by caller
     p.pop("dims", None)
     return PyUNetModel(

@@ -63,12 +63,26 @@ def create_train_state(model, params: Dict[str, Any],
 
 
 def make_train_step(model, tx: optax.GradientTransformation,
-                    use_ema: bool = True) -> Callable:
+                    use_ema: bool = True, remat: bool = False) -> Callable:
     """Returns step(state, batch, rng) -> (state, logs).
 
     batch: {'image': [B, H, W, 3] float in [-1, 1], 'tokens': [B, L] int32}
     (tokens omitted for unconditional models).
+
+    remat: rematerialize the diffusion loss in the backward pass — the
+    TPU-native form of the reference's per-block ``use_checkpoint``
+    (``pyunet.py:257-259``). The policy keeps matmul/conv outputs and
+    recomputes elementwise chains, trading ~1 extra forward's FLOPs for
+    most of the activation memory.
     """
+
+    def diffusion_loss(params, z, ctx, t, noise):
+        return model.training_loss(params, z, ctx, t, noise)
+
+    if remat:
+        diffusion_loss = jax.checkpoint(
+            diffusion_loss,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
 
     def loss_fn(params, image, tokens, t, noise):
         z = model.encode_first_stage(params, image)
@@ -76,7 +90,7 @@ def make_train_step(model, tx: optax.GradientTransformation,
         ctx = None
         if tokens is not None:
             ctx = model.module.apply(params, tokens, method="encode_cond")
-        return model.training_loss(params, z, ctx, t, noise)
+        return diffusion_loss(params, z, ctx, t, noise)
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
         image = batch["image"]

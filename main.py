@@ -155,8 +155,10 @@ def main():
         print(f"Restored training state at step {start_step}")
 
     mesh = pmesh.make_mesh(n_data=n_dev)
+    use_remat = bool(mp.get("unet_config", {}).get("params", {})
+                     .get("use_checkpoint", False))
     step_fn = jax.jit(
-        trainer.make_train_step(model, masked_tx),
+        trainer.make_train_step(model, masked_tx, remat=use_remat),
         in_shardings=(pmesh.replicated(mesh), pmesh.batch_sharding(mesh),
                       pmesh.replicated(mesh)),
         out_shardings=(pmesh.replicated(mesh), pmesh.replicated(mesh)))
