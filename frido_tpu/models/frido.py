@@ -324,6 +324,19 @@ class FridoDiffusion:
 
     def decode_first_stage(self, params, z: jnp.ndarray) -> jnp.ndarray:
         z = self._scale_latent(z, invert=True)
+        sip = self.extra.get("split_input_params")
+        if sip and z.shape[1] > sip["ks"][0]:
+            # patched decode (frido.py:840-877): per latent tile, each
+            # decoding to ks*vqf pixels, blended by overlap count
+            from frido_tpu.ops.tiling import tiled_apply
+
+            dd = self.first_stage_config["params"]["ddconfig"]
+            vqf = int(sip.get("vqf", 2 ** (len(dd["ch_mult"]) - 1)))
+            return tiled_apply(
+                lambda tile: self.module.apply(
+                    params, tile, method="decode_first_stage"),
+                z, ks=tuple(sip["ks"]), stride=tuple(sip["stride"]),
+                out_ch=dd["out_ch"], scale=vqf)
         return self.module.apply(params, z, method="decode_first_stage")
 
     def decode_first_stage_with_codes(self, params, z: jnp.ndarray):
@@ -342,6 +355,18 @@ class FridoDiffusion:
 
     def apply_model(self, params, x, t, context, stage: int,
                     deterministic: bool = True):
+        sip = self.extra.get("split_input_params")
+        if sip and x.shape[1] > sip["ks"][0]:
+            # fold/unfold patched inference (frido.py:1076-1160): run the
+            # UNet per overlapping latent tile, blend by overlap count.
+            # Tile positions are static -> fixed-shape calls under jit.
+            from frido_tpu.ops.tiling import tiled_apply
+
+            return tiled_apply(
+                lambda tile: self.module.apply(
+                    params, tile, t, context, stage, deterministic,
+                    method="apply_model"),
+                x, ks=tuple(sip["ks"]), stride=tuple(sip["stride"]))
         return self.module.apply(params, x, t, context, stage, deterministic,
                                  method="apply_model")
 
