@@ -31,9 +31,19 @@ def restore_params(path: str, like: Any) -> Any:
 
 
 def save_train_state(ckpt_dir: str, step: int, state: Any,
-                     keep: int = 3) -> str:
-    """Save under ckpt_dir/step_N and update the ``last`` pointer."""
+                     keep: int = 3, tag: str = "") -> str:
+    """Save under ckpt_dir/step_N and update the ``last`` pointer.
+
+    tag: save under ckpt_dir/<tag> instead (e.g. 'best' for the
+    monitor-selected checkpoint; not pruned, doesn't move ``last``)."""
     os.makedirs(ckpt_dir, exist_ok=True)
+    if tag:
+        path = os.path.join(ckpt_dir, tag)
+        _ckptr().save(os.path.abspath(path), jax.device_get(state),
+                      force=True)
+        with open(os.path.join(ckpt_dir, f"{tag}.json"), "w") as f:
+            json.dump({"step": step, "path": path}, f)
+        return path
     path = os.path.join(ckpt_dir, f"step_{step}")
     state_host = jax.device_get(state)
     _ckptr().save(os.path.abspath(path), state_host, force=True)

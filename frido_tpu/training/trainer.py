@@ -118,3 +118,28 @@ def make_train_step(model, tx: optax.GradientTransformation,
         return new_state, logs
 
     return step
+
+
+def make_eval_step(model) -> Callable:
+    """Validation loss under a given params tree (pass ``state.params`` for
+    ``val/loss`` and ``state.ema_params`` for ``val/loss_ema`` — the
+    reference's checkpoint monitor, ``frido.py:111-112``). Deterministic
+    per-batch: t/noise keyed only by the rng."""
+
+    def eval_step(params, batch: Dict[str, jnp.ndarray], rng):
+        image = batch["image"]
+        tokens = batch.get("tokens")
+        b = image.shape[0]
+        t_key, n_key = jax.random.split(rng)
+        t = jax.random.randint(t_key, (b,), 0, model.timesteps)
+        lat = model.image_size
+        noise = jax.random.normal(
+            n_key, (b, lat, lat, model.channels), jnp.float32)
+        z = model.encode_first_stage(params, image)
+        ctx = None
+        if tokens is not None:
+            ctx = model.module.apply(params, tokens, method="encode_cond")
+        loss, logs = model.training_loss(params, z, ctx, t, noise)
+        return loss
+
+    return eval_step

@@ -42,6 +42,8 @@ def get_parser():
     p.add_argument("--ckpt_every_steps", type=int, default=0)
     p.add_argument("--log_every_steps", type=int, default=50)
     p.add_argument("--val_every_steps", type=int, default=2000)
+    p.add_argument("--val_batches", type=int, default=8,
+                   help="val batches per validation pass")
     p.add_argument("--n_devices", type=int, default=0,
                    help="data-parallel devices (0 = all)")
     p.add_argument("--accumulate_grad_batches", type=int, default=1)
@@ -162,6 +164,11 @@ def main():
         in_shardings=(pmesh.replicated(mesh), pmesh.batch_sharding(mesh),
                       pmesh.replicated(mesh)),
         out_shardings=(pmesh.replicated(mesh), pmesh.replicated(mesh)))
+    eval_fn = jax.jit(
+        trainer.make_eval_step(model),
+        in_shardings=(pmesh.replicated(mesh), pmesh.batch_sharding(mesh),
+                      pmesh.replicated(mesh)),
+        out_shardings=pmesh.replicated(mesh))
     state = pmesh.replicate(mesh, state)
 
     logger = CSVLogger(os.path.join(logdir, "metrics.csv"))
@@ -175,6 +182,35 @@ def main():
     def save(step):
         ckpt_io.save_train_state(ckptdir, step, state)
         print(f"Saved checkpoint at step {step}")
+
+    best_monitor = {"value": float("inf")}
+
+    def validate(step):
+        """val/loss + val/loss_ema over a few val batches; keeps a 'best'
+        checkpoint on the monitor like the reference's ModelCheckpoint
+        (monitor val/loss_ema, save_top_k=1)."""
+        losses, losses_ema = [], []
+        vrng = jax.random.PRNGKey(1234)
+        for i, vbatch in enumerate(data.val_dataloader()):
+            if i >= args.val_batches:
+                break
+            arrays = pmesh.shard_batch(mesh, batch_to_arrays(model, vbatch))
+            vrng, k = jax.random.split(vrng)
+            losses.append(float(eval_fn(state.params, arrays, k)))
+            losses_ema.append(float(eval_fn(state.ema_params, arrays, k)))
+        if not losses:
+            return
+        val_loss = sum(losses) / len(losses)
+        val_loss_ema = sum(losses_ema) / len(losses_ema)
+        logger.log(step, {"val/loss": val_loss,
+                          "val/loss_ema": val_loss_ema})
+        print(f"step {step} val/loss {val_loss:.4f} "
+              f"val/loss_ema {val_loss_ema:.4f}")
+        if val_loss_ema < best_monitor["value"]:
+            best_monitor["value"] = val_loss_ema
+            ckpt_io.save_train_state(ckptdir, step, state, tag="best")
+            print(f"New best val/loss_ema {val_loss_ema:.4f}; "
+                  "saved 'best' checkpoint")
 
     if not args.train:
         print("Train flag not set (-t True); exiting after setup.")
@@ -200,11 +236,15 @@ def main():
                     logger.log(step, {**logs, "img_per_s": ips})
                     print(f"step {step} loss {float(logs['loss']):.4f} "
                           f"({ips:.1f} img/s)")
+                if args.val_every_steps and step % args.val_every_steps == 0:
+                    validate(step)
                 if img_logger.should_log(step):
                     try:
+                        # sample under EMA weights, like the reference's
+                        # ema_scope around log_images (frido.py:1454-1590)
                         img_logger.log_train(
-                            model, jax.device_get(state.params), batch, step,
-                            dataset=data.datasets.get("train"))
+                            model, jax.device_get(state.ema_params), batch,
+                            step, dataset=data.datasets.get("train"))
                     except Exception as e:  # logging must never kill a run
                         print(f"image logging failed: {e}")
                 if args.ckpt_every_steps and step % args.ckpt_every_steps == 0:

@@ -123,12 +123,15 @@ def test_main_train_and_resume(workspace):
     logdir = root / "logs"
     r = run_cli(["main.py", "--base", str(cfg_path), "-t", "True",
                  "-n", "tiny", "-l", str(logdir), "--max_steps", "3",
-                 "--log_every_steps", "1", "--n_devices", "2"], REPO)
+                 "--log_every_steps", "1", "--n_devices", "2",
+                 "--val_every_steps", "2", "--val_batches", "1"], REPO)
     assert "loss" in r.stdout
+    assert "val/loss_ema" in r.stdout
     runs = [d for d in os.listdir(logdir) if "tiny" in d]
     assert len(runs) == 1
     ckdir = logdir / runs[0] / "checkpoints"
     assert (ckdir / "last.json").exists()
+    assert (ckdir / "best.json").exists(), "monitor-selected best ckpt"
     assert (logdir / runs[0] / "metrics.csv").exists()
 
     # resume from the same logdir: should restore step 3
