@@ -45,7 +45,7 @@ class SamplerConfig:
     use_split_head: bool = True
     specify_channels: Sequence[int] = ()
     num_stage: int = 2
-    kind: str = "plms"           # 'plms' | 'ddim'
+    kind: str = "plms"           # 'plms' | 'ddim' | 'vanilla' (full-T)
     temperature: float = 1.0
     discretize: str = "uniform"
     keep_intermediates: bool = False
@@ -148,6 +148,42 @@ def _sample_stage_ddim(cfg, dd, eps, x, stage, rng):
     return (x, inter) if cfg.keep_intermediates else x
 
 
+def _sample_stage_vanilla(cfg, dd, eps, x, stage, rng):
+    """Full-T ancestral p_sample chain on the stage window
+    (``frido.py:1391-1418``: stage loop x posterior sampling with clipped
+    x0). Ignores the DDIM stride — every timestep of the training schedule
+    runs, like the reference's ``vanilla_sample`` path."""
+    s = cfg.schedule
+    start, end = cfg.window(stage)
+    b = x.shape[0]
+    T = s.num_timesteps
+    ts = jnp.arange(T - 1, -1, -1)
+    noise = jax.random.normal(
+        rng, (T,) + x[..., start:end].shape) * cfg.temperature
+
+    sqrt_recip = jnp.asarray(s.sqrt_recip_alphas_cumprod)
+    sqrt_recipm1 = jnp.asarray(s.sqrt_recipm1_alphas_cumprod)
+    coef1 = jnp.asarray(s.posterior_mean_coef1)
+    coef2 = jnp.asarray(s.posterior_mean_coef2)
+    log_var = jnp.asarray(s.posterior_log_variance_clipped)
+
+    def step(x, inp):
+        t, n = inp
+        tb = jnp.full((b,), t, dtype=jnp.int32)
+        e_w = eps(x, tb)
+        x_w = x[..., start:end]
+        x0 = sqrt_recip[t] * x_w - sqrt_recipm1[t] * e_w
+        x0 = jnp.clip(x0, -1.0, 1.0)  # clip_denoised (frido.py p_sample)
+        mean = coef1[t] * x0 + coef2[t] * x_w
+        x_prev = mean + jnp.where(t > 0, 1.0, 0.0) * jnp.exp(
+            0.5 * log_var[t]) * n
+        x = x.at[..., start:end].set(x_prev)
+        return x, (x if cfg.keep_intermediates else None)
+
+    x, inter = jax.lax.scan(step, x, (ts, noise))
+    return (x, inter) if cfg.keep_intermediates else x
+
+
 def _plms_combine(order: jnp.ndarray, e_t, h1, h2, h3):
     """Adams-Bashforth combination by history length (``plms.py:291-299``)."""
     return jax.lax.switch(
@@ -215,8 +251,10 @@ def sample(cfg: SamplerConfig, eps_model: EpsModel, rng,
     if cfg.kind == "plms" and cfg.eta != 0.0:
         raise ValueError("ddim_eta must be 0 for PLMS (plms.py:25-26)")
     assert x_T is None or x_init is None
-    dd = DDIMSchedule.create(cfg.schedule, cfg.num_steps, eta=cfg.eta,
-                             discretize=cfg.discretize)
+    dd = None
+    if cfg.kind != "vanilla":  # vanilla runs the full training schedule
+        dd = DDIMSchedule.create(cfg.schedule, cfg.num_steps, eta=cfg.eta,
+                                 discretize=cfg.discretize)
 
     rng, init_key = jax.random.split(rng)
     if x_T is not None:
@@ -226,7 +264,8 @@ def sample(cfg: SamplerConfig, eps_model: EpsModel, rng,
     else:
         x = jax.random.normal(init_key, shape)
 
-    stage_fn = _sample_stage_plms if cfg.kind == "plms" else _sample_stage_ddim
+    stage_fn = {"plms": _sample_stage_plms, "ddim": _sample_stage_ddim,
+                "vanilla": _sample_stage_vanilla}[cfg.kind]
     intermediates = []
     for s in range(cfg.num_stage):
         if x_T is not None and s == 0:

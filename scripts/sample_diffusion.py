@@ -117,7 +117,8 @@ def make_pipeline(model, params, args):
     import jax
     import jax.numpy as jnp
 
-    sampler = "plms" if args.plms else "ddim"
+    sampler = ("vanilla" if args.vanilla_sample
+               else "plms" if args.plms else "ddim")
     eta = 0.0 if args.plms else args.eta
     gs = args.guidance_scale if args.use_guidance else 1.0
     dtype = jnp.bfloat16 if args.bf16 else None
