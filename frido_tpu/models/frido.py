@@ -277,6 +277,24 @@ class FridoDiffusion:
         ed = self.first_stage_config["params"]["edconfig"]
         return len(ed["ch_mult"]) - 1
 
+    def init_scale_by_std(self, params, images) -> np.ndarray:
+        """Set per-stage scale factors to 1/std of the first training
+        batch's latents (``frido.py:562-593``: rank-zero
+        ``on_train_batch_start`` at step 0, no resume). Returns the new
+        scale vector; called by the training driver before the first step.
+        """
+        assert self.scale_by_std
+        z = self.module.apply(params, jnp.asarray(images),
+                              method="encode_first_stage")
+        factors = []
+        start = 0
+        for d in self.embed_dim_list:
+            blk = z[..., start:start + d]
+            factors.append(1.0 / float(jnp.std(blk)))
+            start += d
+        self.scale_factors = np.asarray(factors, np.float32)
+        return self.scale_factors
+
     def load_torch_checkpoint(self, path: str, params: Dict[str, Any],
                               strict: bool = False) -> Dict[str, Any]:
         """Load a reference Lightning .ckpt into the params tree; returns

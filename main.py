@@ -13,6 +13,7 @@ from __future__ import annotations
 import argparse
 import csv
 import datetime
+import json
 import os
 import signal
 import sys
@@ -151,10 +152,25 @@ def main():
         lr, sched_cfg, accumulate_grad_batches=args.accumulate_grad_batches)
     state, masked_tx = trainer.create_train_state(model, params, tx)
 
+    sf_path = os.path.join(ckptdir, "scale_factors.json")
     start_step = 0
     if os.path.exists(os.path.join(ckptdir, "last.json")):
         state, start_step = ckpt_io.restore_train_state(ckptdir, state)
         print(f"Restored training state at step {start_step}")
+        if os.path.exists(sf_path):
+            model.scale_factors = np.asarray(
+                json.load(open(sf_path)), np.float32)
+    elif getattr(model, "scale_by_std", False):
+        # reference: per-stage 1/std of the first batch's latents
+        # (frido.py:562-593, rank-zero at step 0, no resume); persisted
+        # next to the checkpoints like the ckpt's scale_factor buffer
+        first = next(iter(data.train_dataloader()))
+        sf = model.init_scale_by_std(
+            jax.device_get(state.params),
+            batch_to_arrays(model, first)["image"])
+        os.makedirs(ckptdir, exist_ok=True)
+        json.dump(sf.tolist(), open(sf_path, "w"))
+        print(f"scale_by_std: per-stage scale factors {sf.tolist()}")
 
     mesh = pmesh.make_mesh(n_data=n_dev)
     use_remat = bool(mp.get("unet_config", {}).get("params", {})
