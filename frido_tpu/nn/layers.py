@@ -176,11 +176,13 @@ class GroupNorm(nn.Module):
     eps: float = 1e-6
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 fuse_silu: bool = False) -> jnp.ndarray:
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        return group_norm(x, scale, bias, num_groups=self.num_groups, eps=self.eps)
+        return group_norm(x, scale, bias, num_groups=self.num_groups,
+                          eps=self.eps, fuse_silu=fuse_silu)
 
 
 class LayerNorm(nn.Module):

@@ -120,23 +120,28 @@ class ResBlock(nn.Module):
     def _norm(self, norm, x, feat_cond):
         return norm(x, feat_cond) if self.use_spade else norm(x)
 
+    def _norm_silu(self, norm, x, feat_cond):
+        """silu(norm(x)); GroupNorm fuses the SiLU into the Pallas kernel."""
+        if self.use_spade:
+            return silu(norm(x, feat_cond))
+        return norm(x, fuse_silu=True)
+
     def __call__(self, x, emb, feat_cond=None, deterministic=True):
         if self.up or self.down:
             resample = interpolate_nearest_2x if self.up else avg_pool_2x
-            h = silu(self._norm(self.in_norm, x, feat_cond))
+            h = self._norm_silu(self.in_norm, x, feat_cond)
             h = resample(h)
             x = resample(x)
             h = self.in_conv(h)
         else:
-            h = self.in_conv(silu(self._norm(self.in_norm, x, feat_cond)))
+            h = self.in_conv(self._norm_silu(self.in_norm, x, feat_cond))
         emb_out = self.emb_proj(silu(emb)).astype(h.dtype)[:, None, None, :]
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
             h = self._norm(self.out_norm, h, feat_cond) * (1 + scale) + shift
+            h = silu(h)
         else:
-            h = h + emb_out
-            h = self._norm(self.out_norm, h, feat_cond)
-        h = silu(h)
+            h = self._norm_silu(self.out_norm, h + emb_out, feat_cond)
         if self.dropout > 0 and not deterministic:
             h = nn.Dropout(rate=self.dropout, deterministic=False,
                            name="drop")(h)
@@ -505,8 +510,8 @@ class PyUNetModel(nn.Module):
             return self.id_predictor_conv(self.id_predictor_norm(h))
         if self.use_split_head:
             norm, conv = self.out_heads[stage]
-            return conv(silu(norm(h)))
-        return self.out_conv(silu(self.out_norm(h)))
+            return conv(norm(h, fuse_silu=True))
+        return self.out_conv(self.out_norm(h, fuse_silu=True))
 
 
 def pyunet_from_config(params: Dict[str, Any], name: str = "diffusion_model"

@@ -47,8 +47,8 @@ class ResnetBlock(nn.Module):
                     self.out_channels, 1, padding=0, name="nin_shortcut")
 
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        h = self.conv1(silu(self.norm1(x)))
-        h = silu(self.norm2(h))
+        h = self.conv1(self.norm1(x, fuse_silu=True))
+        h = self.norm2(h, fuse_silu=True)
         if self.dropout > 0.0 and not deterministic:
             h = nn.Dropout(rate=self.dropout, deterministic=False, name="drop")(h)
         h = self.conv2(h)
@@ -183,7 +183,7 @@ class Encoder(nn.Module):
         h = self.mid_block_1(h, deterministic)
         h = self.mid_attn_1(h)
         h = self.mid_block_2(h, deterministic)
-        return self.conv_out(silu(self.norm_out(h)))
+        return self.conv_out(self.norm_out(h, fuse_silu=True))
 
 
 class MSEncoder(nn.Module):
@@ -271,7 +271,7 @@ class MSEncoder(nn.Module):
             hh = b1(hh, deterministic)
             hh = a1(hh)
             hh = b2(hh, deterministic)
-            out_h.append(self.conv_out_ms[i](silu(self.norm_out_ms[i](hh))))
+            out_h.append(self.conv_out_ms[i](self.norm_out_ms[i](hh, fuse_silu=True)))
         return out_h
 
 
@@ -332,4 +332,4 @@ class Decoder(nn.Module):
                 h = self.ups[i](h)
         if self.give_pre_end:
             return h
-        return self.conv_out(silu(self.norm_out(h)))
+        return self.conv_out(self.norm_out(h, fuse_silu=True))

@@ -23,12 +23,24 @@ def group_norm(
     num_groups: int = 32,
     eps: float = 1e-6,
     cast_fp32: bool = True,
+    fuse_silu: bool = False,
 ) -> jnp.ndarray:
     """Normalize an NHWC (or N...C) tensor over (spatial, group-channel) dims.
 
     ``cast_fp32=True`` reproduces GroupNorm32's ``x.float()`` upcast so bf16
-    activations are normalized in fp32 and cast back.
-    """
+    activations are normalized in fp32 and cast back. ``fuse_silu`` appends
+    SiLU (fused into the Pallas kernel on TPU; measured faster than XLA's
+    GN when the spatial extent is >= 16x16)."""
+    from frido_tpu.ops.pallas import use_pallas
+    from frido_tpu.ops.pallas.norm_pallas import (fits_pallas_gn,
+                                                  group_norm_pallas)
+
+    hw = 1
+    for s in x.shape[1:-1]:
+        hw *= s
+    if use_pallas() and hw >= 256 and fits_pallas_gn(x.shape):
+        return group_norm_pallas(x, scale, bias, num_groups, eps, fuse_silu)
+
     orig_dtype = x.dtype
     if cast_fp32:
         x = x.astype(jnp.float32)
@@ -44,4 +56,6 @@ def group_norm(
     xg = (xg - mean) * jax.lax.rsqrt(var + eps)
     x = xg.reshape(shape)
     x = x * scale.astype(x.dtype) + bias.astype(x.dtype)
+    if fuse_silu:
+        x = jax.nn.silu(x)
     return x.astype(orig_dtype) if cast_fp32 else x

@@ -24,6 +24,11 @@ def use_pallas() -> bool:
         return False
     if mode == "interpret":
         return True
+    # honor `with jax.default_device(cpu)` islands (e.g. host-side param
+    # init in a TPU process): compiled pallas calls can't lower for CPU
+    dd = jax.config.jax_default_device
+    if dd is not None and dd.platform != "tpu":
+        return False
     return jax.default_backend() == "tpu"
 
 

@@ -81,6 +81,45 @@ def test_vq_argmin_matches_naive(n, k, d):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.parametrize("shape,groups", [
+    ((2, 16, 16, 64), 32),
+    ((3, 8, 8, 96), 32),     # cpg=3, odd channel count per lane tile
+])
+@pytest.mark.parametrize("fuse_silu", [False, True])
+def test_group_norm_pallas_matches_reference(shape, groups, fuse_silu):
+    from frido_tpu.ops.pallas.norm_pallas import (_reference_gn,
+                                                  group_norm_pallas)
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(5), 3)
+    x = jax.random.normal(k1, shape, jnp.float32)
+    scale = 1.0 + 0.1 * jax.random.normal(k2, (shape[-1],))
+    bias = 0.1 * jax.random.normal(k3, (shape[-1],))
+    got = group_norm_pallas(x, scale, bias, groups, 1e-6, fuse_silu)
+    want = _reference_gn(x, scale, bias, groups, 1e-6, fuse_silu)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_group_norm_pallas_gradients():
+    from frido_tpu.ops.pallas.norm_pallas import (_reference_gn,
+                                                  group_norm_pallas)
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(6), 3)
+    x = jax.random.normal(k1, (2, 8, 8, 64), jnp.float32)
+    scale = 1.0 + 0.1 * jax.random.normal(k2, (64,))
+    bias = 0.1 * jax.random.normal(k3, (64,))
+
+    g1 = jax.grad(lambda a, s, b: jnp.sum(
+        group_norm_pallas(a, s, b, 32, 1e-6, True) ** 2),
+        argnums=(0, 1, 2))(x, scale, bias)
+    g2 = jax.grad(lambda a, s, b: jnp.sum(
+        _reference_gn(a, s, b, 32, 1e-6, True) ** 2),
+        argnums=(0, 1, 2))(x, scale, bias)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
 def test_vq_argmin_tie_breaks_to_first_index():
     # duplicated codebook rows: argmin must pick the first (torch semantics,
     # quantize.py:279-284)
