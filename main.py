@@ -45,6 +45,8 @@ def get_parser():
     p.add_argument("--val_every_steps", type=int, default=2000)
     p.add_argument("--val_batches", type=int, default=8,
                    help="val batches per validation pass")
+    p.add_argument("-tb", "--tensorboard", type=str2bool, default=False,
+                   help="also log scalars to TensorBoard (logdir/tb)")
     p.add_argument("--n_devices", type=int, default=0,
                    help="data-parallel devices (0 = all)")
     p.add_argument("--accumulate_grad_batches", type=int, default=1)
@@ -77,6 +79,29 @@ class CSVLogger:
             if new:
                 w.writeheader()
             w.writerow(metrics)
+
+
+class TensorBoardLogger:
+    """Optional TB scalars next to the CSV (the reference's ``-tb`` /
+    TestTube option, ``main.py:684-717``)."""
+
+    def __init__(self, logdir):
+        from torch.utils.tensorboard import SummaryWriter
+
+        self.writer = SummaryWriter(logdir)
+
+    def log(self, step, metrics):
+        for k, v in metrics.items():
+            self.writer.add_scalar(k, float(v), step)
+
+
+class MultiLogger:
+    def __init__(self, *loggers):
+        self.loggers = [lg for lg in loggers if lg is not None]
+
+    def log(self, step, metrics):
+        for lg in self.loggers:
+            lg.log(step, metrics)
 
 
 def batch_to_arrays(model, batch):
@@ -188,6 +213,12 @@ def main():
     state = pmesh.replicate(mesh, state)
 
     logger = CSVLogger(os.path.join(logdir, "metrics.csv"))
+    if args.tensorboard:
+        try:
+            logger = MultiLogger(
+                logger, TensorBoardLogger(os.path.join(logdir, "tb")))
+        except ImportError:
+            print("tensorboard unavailable; CSV logging only")
     from frido_tpu.training.image_logger import ImageLogger
 
     img_logger = ImageLogger(logdir, every_steps=args.img_log_every_steps)
