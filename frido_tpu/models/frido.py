@@ -262,7 +262,7 @@ class FridoDiffusion:
         # Conv/attention params are shape-independent of the spatial dims;
         # init on the smallest grid that survives every stride (fast init).
         ds_unet = max(self.unet_config["params"].get(
-            "attention_resolutions", [8]))
+            "attention_resolutions") or [8])
         lat = max(ds_unet * 2, 8)
         side = 4 * 2 ** self._num_downs()
         img = jnp.zeros((1, side, side, 3))

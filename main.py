@@ -47,6 +47,13 @@ def get_parser():
                    help="val batches per validation pass")
     p.add_argument("-tb", "--tensorboard", type=str2bool, default=False,
                    help="also log scalars to TensorBoard (logdir/tb)")
+    p.add_argument("--no_test", type=str2bool, default=False,
+                   help="skip the post-fit test-split sampling pass "
+                        "(reference main.py:835-842)")
+    p.add_argument("--test_steps", type=int, default=200,
+                   help="sampler steps for the post-fit test pass")
+    p.add_argument("--test_batches", type=int, default=-1,
+                   help="limit test batches (-1 = whole split)")
     p.add_argument("--n_devices", type=int, default=0,
                    help="data-parallel devices (0 = all)")
     p.add_argument("--accumulate_grad_batches", type=int, default=1)
@@ -304,6 +311,57 @@ def main():
             save(step)
     except (StopIteration, KeyboardInterrupt):
         save(step)
+
+    if not args.no_test:
+        # post-fit test pass: sample the test split under EMA weights and
+        # write per-sample PNGs, the reference's trainer.test + ImageLogger
+        # behavior (main.py:835-842, 451-493)
+        print("testing time")
+        run_test(args, model, jax.device_get(state.ema_params), data, logdir)
+
+
+def run_test(args, model, params, data, logdir):
+    import jax
+    import jax.numpy as jnp
+
+    from frido_tpu.utils.visualize import save_image, to_uint8
+
+    out_dir = os.path.join(logdir, "test")
+    for sub in ("sample", "inputs"):
+        os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+    cond_key = model.cond_stage_key
+
+    @jax.jit
+    def pipeline(params, rng, tokens):
+        ctx = model.get_learned_conditioning(params, tokens)
+        z = model.sample(params, rng, tokens.shape[0], context=ctx,
+                         steps=args.test_steps, sampler="ddim",
+                         compute_dtype=jnp.bfloat16)
+        return model.decode_first_stage(params, z)
+
+    rng = jax.random.PRNGKey(args.seed)
+    n_saved = 0
+    for i, batch in enumerate(data.test_dataloader()):
+        if args.test_batches > 0 and i >= args.test_batches:
+            break
+        cond = batch[cond_key] if cond_key in batch else batch
+        tokens = jnp.asarray(np.asarray(model.tokenize(cond)))
+        rng, k = jax.random.split(rng)
+        t0 = time.time()
+        imgs = np.asarray(pipeline(params, k, tokens))
+        print(f"Throughput for this batch: "
+              f"{imgs.shape[0] / (time.time() - t0):.4f}")
+        names = batch.get("file_name")
+        for j, img in enumerate(imgs):
+            name = (names[j] if names is not None
+                    else f"{n_saved:06}.png")
+            name = os.path.splitext(os.path.basename(str(name)))[0] + ".png"
+            save_image(img, os.path.join(out_dir, "sample", name))
+            if "image" in batch:
+                save_image(np.asarray(batch["image"][j], np.float32),
+                           os.path.join(out_dir, "inputs", name))
+            n_saved += 1
+    print(f"test pass: {n_saved} samples in {out_dir}")
 
 
 if __name__ == "__main__":

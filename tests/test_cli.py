@@ -124,8 +124,11 @@ def test_main_train_and_resume(workspace):
     r = run_cli(["main.py", "--base", str(cfg_path), "-t", "True",
                  "-n", "tiny", "-l", str(logdir), "--max_steps", "3",
                  "--log_every_steps", "1", "--n_devices", "2",
-                 "--val_every_steps", "2", "--val_batches", "1"], REPO)
+                 "--val_every_steps", "2", "--val_batches", "1",
+                 "--test_steps", "2", "--test_batches", "1"], REPO)
     assert "loss" in r.stdout
+    # post-fit test pass wrote per-sample PNGs (reference trainer.test)
+    assert "testing time" in r.stdout
     assert "val/loss_ema" in r.stdout
     runs = [d for d in os.listdir(logdir) if "tiny" in d]
     assert len(runs) == 1
@@ -135,10 +138,14 @@ def test_main_train_and_resume(workspace):
     assert (logdir / runs[0] / "metrics.csv").exists()
 
     # resume from the same logdir: should restore step 3
+    runs = [d for d in os.listdir(logdir) if "tiny" in d]
+    test_pngs = list((logdir / runs[0] / "test" / "sample").glob("*.png"))
+    assert test_pngs, "post-fit test pass should write sample PNGs"
+
     r2 = run_cli(["main.py", "--base", str(cfg_path), "-t", "True",
                   "-n", "tiny", "-l", str(logdir), "--auto_resume", "True",
                   "--max_steps", "5", "--log_every_steps", "1",
-                  "--n_devices", "2"], REPO)
+                  "--n_devices", "2", "--no_test", "True"], REPO)
     assert "Restored training state at step 3" in r2.stdout
 
 
