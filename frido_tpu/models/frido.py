@@ -540,13 +540,29 @@ class FridoDiffusion:
                         dataset.get_textual_label_for_category_no, wh)
                     for row in tokens])
 
-        if sample_flag:
+        # plot_* config gates (frido.py:1454-1590; e.g. the clip config
+        # sets plot_sample: False, plot_quantize_denoised: True)
+        if sample_flag and self.extra.get("plot_sample", True):
             samples = self.sample(
                 params, rng, x.shape[0], context=ctx,
                 steps=ddim_steps, eta=ddim_eta,
                 sampler="ddim" if ddim_eta > 0 else "plms")
             log["samples"] = np.asarray(
                 self.decode_first_stage(params, samples))
+            if self.extra.get("plot_quantize_denoised", False):
+                z_raw = self._scale_latent(samples, invert=True)
+                zq = self.module.apply(params, z_raw,
+                                       method="quantize_latent")
+                log["samples_x0_quantized"] = np.asarray(self.module.apply(
+                    params, zq, method="decode_first_stage"))
+        if sample_flag and (self.extra.get("plot_diffusion_rows", False)
+                            or self.extra.get("plot_denoise_rows", False)):
+            rows = self.log_rows(params, batch, rng=rng,
+                                 ddim_steps=min(ddim_steps, 50))
+            if self.extra.get("plot_diffusion_rows", False):
+                log["diffusion_row"] = rows["diffusion_row"]
+            if self.extra.get("plot_denoise_rows", False):
+                log["denoise_row"] = rows["denoise_row"]
         return log
 
     def log_rows(self, params, batch, rng=None, n_row: int = 2,

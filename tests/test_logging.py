@@ -69,3 +69,26 @@ def test_image_logger_writes(tiny_model, tmp_path):
     il2.log_test(logs, str(tmp_path / "test_out"))
     out = os.listdir(tmp_path / "test_out" / "img" / "sample")
     assert sorted(out) == ["a_r1.png", "b_r1.png"]
+
+
+def test_log_images_plot_flags(tiny_model):
+    """plot_* config gates (clip config: plot_sample False,
+    plot_quantize_denoised True)."""
+    model, params = tiny_model
+    model.cond_stage_key = "tokens"
+    batch = make_batch()
+    model.extra["plot_sample"] = False
+    try:
+        log = model.log_images(params, batch, n=2, ddim_steps=2,
+                               ddim_eta=0.0)
+        assert "samples" not in log
+        model.extra["plot_sample"] = True
+        model.extra["plot_quantize_denoised"] = True
+        log = model.log_images(params, batch, n=2, ddim_steps=2,
+                               ddim_eta=0.0)
+        assert "samples" in log and "samples_x0_quantized" in log
+        assert log["samples_x0_quantized"].shape == log["samples"].shape
+        assert np.isfinite(log["samples_x0_quantized"]).all()
+    finally:
+        model.extra.pop("plot_sample", None)
+        model.extra.pop("plot_quantize_denoised", None)
