@@ -150,9 +150,10 @@ def main():
     write("frido/t2i/frido_f16f8_coco_mini.yaml", t2i_mini, H)
 
     t2i_clip = yaml.safe_load(yaml.safe_dump(t2i))
+    # frozen pooled CLIP text embedder, as the reference clip config
     t2i_clip["model"]["params"]["cond_stage_config"] = dict(
-        target="frido.modules.encoders.modules.FrozenCLIPEmbedder",
-        params=dict(version="openai/clip-vit-large-patch14"))
+        target="frido.modules.encoders.modules.FrozenCLIPTextEmbedder")
+    t2i_clip["model"]["params"]["cond_stage_trainable"] = False
     t2i_clip["model"]["params"]["unet_config"]["params"]["context_dim"] = 768
     write("frido/t2i/frido_f16f8_coco_clip.yaml", t2i_clip, H)
 
@@ -281,7 +282,8 @@ def main():
         return dict(
             base_learning_rate=4.5e-06,
             target="taming.models.msvqgan.MSFPNVQModel",
-            params=dict(**{k: fs[k] for k in
+            params=dict(monitor="val/rec_loss",
+                        **{k: fs[k] for k in
                            ("embed_dim", "n_embed", "edconfig", "ddconfig")},
                         lossconfig=dict(
                             target="taming.modules.losses.vqperceptual."
@@ -317,8 +319,9 @@ def main():
                      lightning=dict(trainer=dict(max_epochs=50)))
     write("msvqgan/msvqgan_f16f8_coco.yaml", msvq_coco, H)
 
+    # "same setting as LDM vq f4": default disc_num_layers (3)
     loss_84 = dict(disc_conditional=False, disc_in_channels=3,
-                   disc_num_layers=2, disc_start=0, disc_weight=0.75,
+                   disc_start=0, disc_weight=0.75,
                    codebook_weight=1.0)
     msvq_84 = dict(model=msvq_model("f8f4", loss_84),
                    data=data(6, oi_img("train", "random-1d", True),
