@@ -252,6 +252,15 @@ def main():
             vrng, k = jax.random.split(vrng)
             losses.append(float(eval_fn(state.params, arrays, k)))
             losses_ema.append(float(eval_fn(state.ema_params, arrays, k)))
+            if i == 0 and img_logger.every_steps > 0:
+                try:  # val-split image grids, like the reference's
+                    # ImageLogger on validation batches (main.py:495-538)
+                    img_logger.log_train(
+                        model, jax.device_get(state.ema_params), vbatch,
+                        step, split="val",
+                        dataset=data.datasets.get("validation"))
+                except Exception as e:
+                    print(f"val image logging failed: {e}")
         if not losses:
             return
         val_loss = sum(losses) / len(losses)
