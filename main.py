@@ -238,6 +238,8 @@ def main():
         print(f"Saved checkpoint at step {step}")
 
     best_monitor = {"value": float("inf")}
+    # val images at the img_log cadence, not every validation pass
+    last_val_img = {"step": -10**9}
 
     def validate(step):
         """val/loss + val/loss_ema over a few val batches; keeps a 'best'
@@ -252,7 +254,10 @@ def main():
             vrng, k = jax.random.split(vrng)
             losses.append(float(eval_fn(state.params, arrays, k)))
             losses_ema.append(float(eval_fn(state.ema_params, arrays, k)))
-            if i == 0 and img_logger.every_steps > 0:
+            if (i == 0 and img_logger.every_steps > 0
+                    and step - last_val_img["step"]
+                    >= img_logger.every_steps):
+                last_val_img["step"] = step
                 try:  # val-split image grids, like the reference's
                     # ImageLogger on validation batches (main.py:495-538)
                     img_logger.log_train(
