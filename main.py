@@ -47,6 +47,9 @@ def get_parser():
                    help="val batches per validation pass")
     p.add_argument("-tb", "--tensorboard", type=str2bool, default=False,
                    help="also log scalars to TensorBoard (logdir/tb)")
+    p.add_argument("-d", "--debug", type=str2bool, default=False,
+                   help="post-mortem pdb on failure + move a fresh run's "
+                        "logdir to debug_runs/ (reference main.py:843-857)")
     p.add_argument("--no_test", type=str2bool, default=False,
                    help="skip the post-fit test-split sampling pass "
                         "(reference main.py:835-842)")
@@ -122,8 +125,33 @@ def batch_to_arrays(model, batch):
     return out
 
 
+_RUN_LOGDIR = {"path": "", "fresh": False}
+
+
 def main():
+    """Post-mortem debugging + debug_runs/ relocation wrapper
+    (reference main.py:843-857)."""
     args, unknown = get_parser().parse_known_args()
+    try:
+        _main(args, unknown)
+    except Exception:
+        if args.debug:
+            import pdb
+
+            pdb.post_mortem()
+        raise
+    finally:
+        if args.debug and _RUN_LOGDIR["fresh"] and _RUN_LOGDIR["path"]:
+            src = _RUN_LOGDIR["path"]
+            base, name = os.path.split(src)
+            dst = os.path.join(base, "debug_runs", name)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            if os.path.exists(src):
+                os.rename(src, dst)
+                print(f"debug run moved to {dst}")
+
+
+def _main(args, unknown):
     import jax
 
     from frido_tpu.config import instantiate_from_config, load_configs
@@ -142,6 +170,8 @@ def main():
         logdir = found
     else:
         logdir = os.path.join(args.logdir, f"{now}_{name}")
+        _RUN_LOGDIR.update(fresh=True)
+    _RUN_LOGDIR.update(path=logdir)
     ckptdir = os.path.join(logdir, "checkpoints")
     cfgdir = os.path.join(logdir, "configs")
     os.makedirs(ckptdir, exist_ok=True)

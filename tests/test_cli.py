@@ -177,3 +177,24 @@ def test_sample_cli_sharded(workspace):
     n0 = len(list((out / "shard0" / "sample").glob("*.png")))
     n1 = len(list((out / "shard1" / "sample").glob("*.png")))
     assert n0 + n1 == 8  # full val set covered across shards
+
+
+def test_debug_mode_relocates_failed_run(workspace, tmp_path):
+    """--debug moves a fresh failed run's logdir under debug_runs/
+    (reference main.py:843-857)."""
+    root, cfg_path = workspace
+    logdir = tmp_path / "dbglogs"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    r = subprocess.run(
+        [sys.executable, "main.py", "--base", str(cfg_path), "-t", "True",
+         "-n", "dbg", "-l", str(logdir), "--debug", "True",
+         "--max_steps", "1",
+         # bad override -> instantiation failure after logdir creation
+         "model.params.unet_config.params.model_channels=-1"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
+        stdin=subprocess.DEVNULL)
+    assert r.returncode != 0
+    moved = list((logdir / "debug_runs").glob("*dbg*"))
+    assert moved, (r.stdout[-1500:], r.stderr[-800:])
