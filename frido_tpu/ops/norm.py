@@ -40,7 +40,23 @@ def group_norm(
         hw *= s
     if use_pallas() and hw >= 256 and fits_pallas_gn(x.shape):
         return group_norm_pallas(x, scale, bias, num_groups, eps, fuse_silu)
+    return group_norm_jnp(x, scale, bias, num_groups, eps, cast_fp32,
+                          fuse_silu)
 
+
+def group_norm_jnp(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    num_groups: int = 32,
+    eps: float = 1e-6,
+    cast_fp32: bool = True,
+    fuse_silu: bool = False,
+) -> jnp.ndarray:
+    """Pure jnp GroupNorm — never dispatches to Pallas. This is the form
+    the Pallas kernel's custom_vjp recomputes in its backward; routing it
+    through the dispatcher would nest kernels unboundedly under
+    grad-of-grad (e.g. the GAN adaptive weight)."""
     orig_dtype = x.dtype
     if cast_fp32:
         x = x.astype(jnp.float32)

@@ -117,11 +117,13 @@ def _gn_forward(x, scale, bias, num_groups, eps, fuse_silu, interpret):
 
 
 def _reference_gn(x, scale, bias, num_groups, eps, fuse_silu):
-    from frido_tpu.ops.norm import group_norm
+    # MUST be the dispatch-free jnp form: this runs inside the kernel's
+    # backward, and re-entering the dispatcher would nest custom_vjps
+    # unboundedly under higher-order grad (GAN adaptive weight)
+    from frido_tpu.ops.norm import group_norm_jnp
 
-    y = group_norm(x, scale, bias, num_groups=num_groups, eps=eps,
-                   cast_fp32=True)
-    return jax.nn.silu(y) if fuse_silu else y
+    return group_norm_jnp(x, scale, bias, num_groups=num_groups, eps=eps,
+                          cast_fp32=True, fuse_silu=fuse_silu)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))

@@ -66,9 +66,13 @@ def main():
     tx_d = optax.adam(lr, b1=0.5, b2=0.9)
 
     size = cfg["data"]["params"]["train"]["params"]["target_image_size"]
-    state = create_vqgan_train_state(
-        module, loss, jax.random.PRNGKey(args.seed), tx_g, tx_d,
-        image_shape=(1, size, size, 3))
+    # init on host: eager init through the remote-TPU tunnel costs one
+    # round-trip per op; CPU init + device_put is minutes faster
+    with jax.default_device(jax.devices("cpu")[0]):
+        state = create_vqgan_train_state(
+            module, loss, jax.random.PRNGKey(args.seed), tx_g, tx_d,
+            image_shape=(1, size, size, 3))
+    state = jax.device_put(state, jax.devices()[0])
     step_fn = jax.jit(make_vqgan_train_step(module, loss, tx_g, tx_d))
 
     step = 0
