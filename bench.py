@@ -12,7 +12,9 @@ on one V100: ~10.5 TFLOPs/image (400 CFG UNet calls + decode) at ~30% of
 15.7 TFLOPs peak => ~0.45 img/s; vs_baseline uses 0.45.
 
 Env overrides: BENCH_BATCH (default 64 — measured best on v5e: 2.18 img/s
-vs 2.02 at batch 32), BENCH_STEPS (default 200), BENCH_REPEATS (default 2).
+vs 2.02 at batch 32), BENCH_STEPS (default 200), BENCH_REPEATS (default 2),
+BENCH_DECODE_CHUNK (default 32 — bounds the 256x256 decoder's peak HBM so
+larger batches fit; numerically identical).
 """
 
 from __future__ import annotations
@@ -31,6 +33,7 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "64"))
     steps = int(os.environ.get("BENCH_STEPS", "200"))
     repeats = int(os.environ.get("BENCH_REPEATS", "2"))
+    decode_chunk = int(os.environ.get("BENCH_DECODE_CHUNK", "32")) or None
 
     import __graft_entry__ as g
     from frido_tpu.config import load_yaml
@@ -61,7 +64,7 @@ def main():
                          uncond_context=uctx, steps=steps, eta=0.0,
                          guidance_scale=1.5, sampler="plms",
                          compute_dtype=jnp.bfloat16)
-        img = model.decode_first_stage(params, z)
+        img = model.decode_first_stage(params, z, chunk=decode_chunk)
         # scalar output: on the remote-TPU (axon) platform block_until_ready
         # does not synchronize and full-image device_get crosses the tunnel;
         # a scalar fetch (~30 ms RTT) is the reliable timing barrier.

@@ -27,6 +27,7 @@ from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from frido_tpu.ops.image import avg_pool_2x, interpolate_nearest_2x
 from frido_tpu.schedules import DDIMSchedule, DiffusionSchedule
@@ -117,14 +118,24 @@ def _ddim_update(x_w, e_w, a_t, a_prev, sqrt_1ma, sigma, noise):
 
 
 def _scan_inputs(dd: DDIMSchedule, rng, shape_w, temperature: float):
-    """Descending-time per-step buffers + per-step noise (pre-drawn keys)."""
+    """Descending-time per-step buffers + per-step noise (pre-drawn keys).
+
+    With eta=0 every sigma is exactly zero (PLMS requires it; DDIM allows
+    it), so the sigma*noise term vanishes — skip materializing the
+    (S, B, H, W, C) noise buffer entirely. At 200 steps x batch 64 that is
+    ~200 MB of HBM per stage plus the RNG work, for values XLA cannot prove
+    dead through the scan's dynamic step index.
+    """
     S = dd.num_steps
     ts = jnp.asarray(dd.timesteps)[::-1]
     a_t = jnp.asarray(dd.alphas)[::-1]
     a_prev = jnp.asarray(dd.alphas_prev)[::-1]
     sqrt_1ma = jnp.asarray(dd.sqrt_one_minus_alphas)[::-1]
     sigmas = jnp.asarray(dd.sigmas)[::-1]
-    noise = jax.random.normal(rng, (S,) + shape_w) * temperature
+    if float(np.max(np.abs(dd.sigmas))) == 0.0:
+        noise = jnp.zeros((S,) + (1,) * len(shape_w), sigmas.dtype)
+    else:
+        noise = jax.random.normal(rng, (S,) + shape_w) * temperature
     return dict(t=ts, a_t=a_t, a_prev=a_prev, sqrt_1ma=sqrt_1ma,
                 sigma=sigmas, noise=noise)
 

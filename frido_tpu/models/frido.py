@@ -340,8 +340,21 @@ class FridoDiffusion:
         z = self.module.apply(params, x, method="encode_first_stage")
         return self._scale_latent(z, invert=False)
 
-    def decode_first_stage(self, params, z: jnp.ndarray) -> jnp.ndarray:
+    def decode_first_stage(self, params, z: jnp.ndarray,
+                           chunk: Optional[int] = None) -> jnp.ndarray:
+        """``chunk``: decode ``chunk`` samples at a time under ``lax.map``.
+        The 256x256 decoder's activations dominate peak HBM at large batch
+        (the 200-step UNet chain touches only the 32x32 latent); chunking
+        bounds that peak at negligible cost since decode is a tiny fraction
+        of sampling time. No reference analogue — the torch decoder just
+        OOMs (the reference caps its eval batch instead)."""
         z = self._scale_latent(z, invert=True)
+        if chunk and z.shape[0] > chunk and z.shape[0] % chunk == 0:
+            zc = z.reshape((z.shape[0] // chunk, chunk) + z.shape[1:])
+            imgs = jax.lax.map(
+                lambda tile: self.module.apply(
+                    params, tile, method="decode_first_stage"), zc)
+            return imgs.reshape((-1,) + imgs.shape[2:])
         sip = self.extra.get("split_input_params")
         if sip and z.shape[1] > sip["ks"][0]:
             # patched decode (frido.py:840-877): per latent tile, each

@@ -61,6 +61,11 @@ def get_parser():
                    help="data-parallel devices (0 = all)")
     p.add_argument("--accumulate_grad_batches", type=int, default=1)
     p.add_argument("--img_log_every_steps", type=int, default=1000)
+    p.add_argument("--uncond_gen_mode", type=str2bool, default=False,
+                   nargs="?", const=True,
+                   help="reset the test-pass seed to seed+rank for "
+                        "unconditional generation (reference "
+                        "main.py:143-148,835-842; rank = process index)")
     return p
 
 
@@ -375,6 +380,15 @@ def run_test(args, model, params, data, logdir):
         os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
     cond_key = model.cond_stage_key
 
+    seed = args.seed
+    if getattr(args, "uncond_gen_mode", False):
+        # reference main.py:835-842: shift the seed by the rank so parallel
+        # unconditional test passes draw distinct samples
+        seed = args.seed + jax.process_index()
+        print("reset seed for unconditional generation.")
+        print(f"Set seed to {seed}.")
+        print("Testing mode on! Auto shift random seed by number of rank.")
+
     @jax.jit
     def pipeline(params, rng, tokens):
         ctx = model.get_learned_conditioning(params, tokens)
@@ -383,7 +397,7 @@ def run_test(args, model, params, data, logdir):
                          compute_dtype=jnp.bfloat16)
         return model.decode_first_stage(params, z)
 
-    rng = jax.random.PRNGKey(args.seed)
+    rng = jax.random.PRNGKey(seed)
     n_saved = 0
     for i, batch in enumerate(data.test_dataloader()):
         if args.test_batches > 0 and i >= args.test_batches:

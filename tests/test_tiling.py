@@ -60,3 +60,23 @@ def test_split_input_params_on_model():
     z0 = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16, 8))
     eps0 = model.apply_model(params, z0, t, ctx, 0)
     assert eps0.shape[1] == 16
+
+
+def test_chunked_decode_matches_full():
+    """decode_first_stage(chunk=n) is numerically the plain decode — it only
+    bounds peak HBM via lax.map over batch chunks."""
+    from __graft_entry__ import _TINY_COND, _TINY_FIRST, _TINY_MODEL, _TINY_UNET
+    from frido_tpu.models.frido import FridoDiffusion
+
+    model = FridoDiffusion(
+        first_stage_config=_TINY_FIRST, cond_stage_config=_TINY_COND,
+        unet_config=_TINY_UNET, **_TINY_MODEL)
+    params = model.init_params(jax.random.PRNGKey(0), context_len=12)
+    z = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 16, 8))
+    full = model.decode_first_stage(params, z)
+    chunked = model.decode_first_stage(params, z, chunk=2)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
+                               atol=1e-5, rtol=1e-5)
+    # non-dividing / oversize chunk falls back to the plain path
+    same = model.decode_first_stage(params, z, chunk=8)
+    np.testing.assert_allclose(np.asarray(same), np.asarray(full), atol=0)
