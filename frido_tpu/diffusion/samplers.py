@@ -46,7 +46,7 @@ class SamplerConfig:
     use_split_head: bool = True
     specify_channels: Sequence[int] = ()
     num_stage: int = 2
-    kind: str = "plms"           # 'plms' | 'ddim' | 'vanilla' (full-T)
+    kind: str = "plms"   # 'plms' | 'ddim' | 'dpmpp' | 'vanilla' (full-T)
     temperature: float = 1.0
     discretize: str = "uniform"
     keep_intermediates: bool = False
@@ -195,6 +195,49 @@ def _sample_stage_vanilla(cfg, dd, eps, x, stage, rng):
     return (x, inter) if cfg.keep_intermediates else x
 
 
+def _sample_stage_dpmpp(cfg, dd, eps, x, stage, rng):
+    """DPM-Solver++(2M) on the stage window — deterministic second-order
+    multistep in the data-prediction (x0) formulation (Lu et al. 2022,
+    arXiv:2211.01095 Algorithm 2). Beyond-parity addition: no reference
+    analogue; reaches 200-step-PLMS sample quality in ~20-30 steps, so the
+    coarse-to-fine chain runs ~10x fewer UNet calls at serving time. With
+    eps-hat == 0 it reduces exactly to eta=0 DDIM (pinned by test).
+    """
+    del rng  # deterministic
+    start, end = cfg.window(stage)
+    b = x.shape[0]
+    S = dd.num_steps
+    ts = jnp.asarray(dd.timesteps)[::-1]
+    a_t = jnp.asarray(dd.alphas)[::-1]          # alpha_cumprod at t_i
+    a_prev = jnp.asarray(dd.alphas_prev)[::-1]  # ... at t_{i+1} (next step)
+    sig_t = jnp.sqrt(1.0 - a_t)
+    sig_prev = jnp.sqrt(1.0 - a_prev)
+    # half-log-SNR lambda = log(alpha_hat/sigma)
+    lam_t = 0.5 * jnp.log(a_t / (1.0 - a_t))
+    lam_prev = 0.5 * jnp.log(a_prev / (1.0 - a_prev))
+
+    def step(carry, i):
+        x, x0_prev, h_prev = carry
+        tb = jnp.full((b,), ts[i], dtype=jnp.int32)
+        e_w = eps(x, tb)
+        x_w = x[..., start:end]
+        x0 = (x_w - sig_t[i] * e_w) / jnp.sqrt(a_t[i])
+        h = lam_prev[i] - lam_t[i]
+        # 2M correction; first step (h_prev == 0) falls back to 1st order
+        r_safe = jnp.where(h_prev > 0, h_prev, 1.0) / h
+        c = jnp.where(h_prev > 0, 1.0 / (2.0 * r_safe), 0.0)
+        D = (1.0 + c) * x0 - c * x0_prev
+        x_new = (sig_prev[i] / sig_t[i]) * x_w \
+            - jnp.sqrt(a_prev[i]) * jnp.expm1(-h) * D
+        x = x.at[..., start:end].set(x_new)
+        return (x, x0, h), (x if cfg.keep_intermediates else None)
+
+    x0_init = jnp.zeros_like(x[..., start:end])
+    (x, _, _), inter = jax.lax.scan(
+        step, (x, x0_init, jnp.asarray(0.0)), jnp.arange(S))
+    return (x, inter) if cfg.keep_intermediates else x
+
+
 def _plms_combine(order: jnp.ndarray, e_t, h1, h2, h3):
     """Adams-Bashforth combination by history length (``plms.py:291-299``)."""
     return jax.lax.switch(
@@ -259,8 +302,9 @@ def sample(cfg: SamplerConfig, eps_model: EpsModel, rng,
     (``plms.py:151-153``). ``x_init``: use as the initial noise but sample
     every stage (deterministic runs / goldens).
     """
-    if cfg.kind == "plms" and cfg.eta != 0.0:
-        raise ValueError("ddim_eta must be 0 for PLMS (plms.py:25-26)")
+    if cfg.kind in ("plms", "dpmpp") and cfg.eta != 0.0:
+        raise ValueError("ddim_eta must be 0 for PLMS (plms.py:25-26) "
+                         "and DPM-Solver++ (deterministic solver)")
     assert x_T is None or x_init is None
     dd = None
     if cfg.kind != "vanilla":  # vanilla runs the full training schedule
@@ -276,6 +320,7 @@ def sample(cfg: SamplerConfig, eps_model: EpsModel, rng,
         x = jax.random.normal(init_key, shape)
 
     stage_fn = {"plms": _sample_stage_plms, "ddim": _sample_stage_ddim,
+                "dpmpp": _sample_stage_dpmpp,
                 "vanilla": _sample_stage_vanilla}[cfg.kind]
     intermediates = []
     for s in range(cfg.num_stage):

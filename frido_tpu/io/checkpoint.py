@@ -30,6 +30,13 @@ def restore_params(path: str, like: Any) -> Any:
     return restored
 
 
+def restore_raw(path: str) -> Any:
+    """Restore without a target structure (nested dicts of arrays). Used to
+    read a train-state checkpoint when only parts of it are wanted (e.g.
+    the sampling CLI extracting ema_params without building an optimizer)."""
+    return _ckptr().restore(os.path.abspath(path))
+
+
 def save_train_state(ckpt_dir: str, step: int, state: Any,
                      keep: int = 3, tag: str = "") -> str:
     """Save under ckpt_dir/step_N and update the ``last`` pointer.

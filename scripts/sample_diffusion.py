@@ -28,12 +28,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def get_parser():
     p = argparse.ArgumentParser()
     p.add_argument("-r", "--resume", type=str, default=None,
-                   help="checkpoint (.ckpt torch or orbax dir)")
+                   help="checkpoint (.ckpt torch file, orbax dir, a run's "
+                        "checkpoints/ dir, or a run logdir — the latter two "
+                        "resolve the 'last' pointer)")
     p.add_argument("-cfg", "--cfg_path", type=str, required=True)
     p.add_argument("-name", "--exp_name", type=str, default="v0")
-    p.add_argument("-o", "--output_path", type=str, default="outputs")
+    p.add_argument("-o", "--output_path", type=str, default="",
+                   help="output base ('' = <run logdir>/samples, the "
+                        "reference default)")
+    p.add_argument("-l", "--logdir", type=str, default="none",
+                   help="extra logdir: relocate the run's sample output "
+                        "under this base (reference -l)")
     p.add_argument("-n", "--n_samples", type=int, default=-1)
     p.add_argument("-plms", "--plms", action="store_true")
+    p.add_argument("-dpmpp", "--dpmpp", action="store_true",
+                   help="DPM-Solver++(2M): ~200-step-PLMS quality in "
+                        "20-30 steps (beyond-parity fast sampler)")
     p.add_argument("-e", "--eta", type=float, default=1.0)
     p.add_argument("-v", "--vanilla_sample", action="store_true",
                    help="full-T ancestral sampling")
@@ -78,6 +88,27 @@ def save_batch(imgs, out_dir, names=None, n_saved=0, key="sample"):
     return n_saved
 
 
+def resolve_resume(resume):
+    """Map the -r forms (reference sample_diffusion.py:480-497) to a
+    concrete checkpoint leaf + the run logdir: a torch .ckpt file, an orbax
+    leaf dir (params-only / step_N / best), a ``<run>/checkpoints`` dir, or
+    a run logdir (both resolve the ``last`` pointer). Returns
+    (ckpt, run_logdir)."""
+    if not resume:
+        return None, None
+    r = resume.rstrip("/")
+    if os.path.isdir(os.path.join(r, "checkpoints")):
+        cdir, run = os.path.join(r, "checkpoints"), r
+    elif os.path.isdir(r) and os.path.exists(os.path.join(r, "last.json")):
+        cdir, run = r, os.path.dirname(r)
+    else:  # file or orbax leaf dir
+        d = os.path.dirname(os.path.abspath(r))
+        run = os.path.dirname(d) if os.path.basename(d) == "checkpoints" else d
+        return r, run
+    with open(os.path.join(cdir, "last.json")) as f:
+        return json.load(f)["path"], run
+
+
 def build_model(cfg, ckpt, use_ema=True):
     import jax
 
@@ -96,7 +127,17 @@ def build_model(cfg, ckpt, use_ema=True):
         if os.path.isdir(ckpt):
             from frido_tpu.io import checkpoint as ckpt_io
 
-            params = ckpt_io.restore_params(ckpt, params)
+            raw = ckpt_io.restore_raw(ckpt)
+            if isinstance(raw, dict) and "ema_params" in raw:
+                # a full train-state dir (step_N / best / last target):
+                # sample under the EMA tree like the reference's ema_scope
+                tree = (raw["ema_params"] if use_ema and
+                        raw.get("ema_params") is not None else raw["params"])
+                print(f"Restored {'EMA ' if use_ema else ''}params from "
+                      f"train state {ckpt}")
+                params = jax.tree_util.tree_map(np.asarray, tree)
+            else:
+                params = ckpt_io.restore_params(ckpt, params)
         else:
             print(f"Loading torch checkpoint {ckpt}")
             params = model.load_torch_checkpoint(ckpt, params)
@@ -118,8 +159,9 @@ def make_pipeline(model, params, args):
     import jax.numpy as jnp
 
     sampler = ("vanilla" if args.vanilla_sample
+               else "dpmpp" if getattr(args, "dpmpp", False)
                else "plms" if args.plms else "ddim")
-    eta = 0.0 if args.plms else args.eta
+    eta = 0.0 if sampler in ("plms", "dpmpp") else args.eta
     gs = args.guidance_scale if args.use_guidance else 1.0
     dtype = jnp.bfloat16 if args.bf16 else None
 
@@ -163,12 +205,22 @@ def main():
 
 def _run(args, jax, jnp, instantiate_from_config, load_configs):
     cfg = load_configs([args.cfg_path])
-    model, params = build_model(cfg, args.resume, use_ema=not args.no_ema)
+    ckpt, run_logdir = resolve_resume(args.resume)
+    model, params = build_model(cfg, ckpt, use_ema=not args.no_ema)
     params = jax.device_put(params, jax.devices()[0])
     pipeline = make_pipeline(model, params, args)
     rng = jax.random.PRNGKey(args.seed + args.shard_idx)
 
-    out_dir = os.path.join(args.output_path, args.exp_name)
+    if args.logdir != "none" and run_logdir:
+        # reference sample_diffusion.py:508-513: keep the run's leaf name,
+        # relocate under the extra logdir base
+        local = os.path.basename(run_logdir.rstrip(os.sep)) or run_logdir
+        print(f"Switching logdir from '{run_logdir}' to "
+              f"'{os.path.join(args.logdir, local)}'")
+        run_logdir = os.path.join(args.logdir, local)
+    out_base = args.output_path or os.path.join(run_logdir or "outputs",
+                                                "samples")
+    out_dir = os.path.join(out_base, args.exp_name)
     os.makedirs(out_dir, exist_ok=True)
 
     def run_pipeline(params, rng, tokens, utokens, batch_idx=0):

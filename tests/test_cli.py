@@ -179,6 +179,31 @@ def test_sample_cli_sharded(workspace):
     assert n0 + n1 == 8  # full val set covered across shards
 
 
+def test_sample_cli_run_dir_resume(workspace, tmp_path):
+    """-r <run logdir> resolves the 'last' train-state checkpoint (EMA tree)
+    and -l relocates the default <run>/samples output (reference
+    sample_diffusion.py:480-513)."""
+    root, cfg_path = workspace
+    logdir = root / "logs"
+    runs = ([d for d in os.listdir(logdir) if "tiny" in d]
+            if logdir.exists() else [])
+    if not runs:  # standalone run: produce a checkpointed run first
+        run_cli(["main.py", "--base", str(cfg_path), "-t", "True",
+                 "-n", "tiny", "-l", str(logdir), "--max_steps", "1",
+                 "--n_devices", "2", "--no_test", "True",
+                 "--val_every_steps", "0"], REPO)
+        runs = [d for d in os.listdir(logdir) if "tiny" in d]
+    run_dir = logdir / runs[0]
+    extra = tmp_path / "extra"
+    r = run_cli(["scripts/sample_diffusion.py", "-cfg", str(cfg_path),
+                 "-r", str(run_dir), "-l", str(extra), "-plms", "-c", "2",
+                 "-bs", "2", "-n", "2"], REPO)
+    assert "Restored EMA params from train state" in r.stdout
+    assert "Switching logdir" in r.stdout
+    pngs = list((extra / runs[0] / "samples" / "v0" / "sample").glob("*.png"))
+    assert len(pngs) >= 2
+
+
 def test_debug_mode_relocates_failed_run(workspace, tmp_path):
     """--debug moves a fresh failed run's logdir under debug_runs/
     (reference main.py:843-857)."""
