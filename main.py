@@ -165,15 +165,31 @@ def _main(args, unknown):
     from frido_tpu.training import optim, trainer
 
     now = datetime.datetime.now().strftime("%Y-%m-%dT%H-%M-%S")
-    cfg = load_configs(args.base, dotlist=[u for u in unknown if "=" in u])
 
-    name = args.name or os.path.splitext(os.path.basename(args.base[0]))[0]
+    name = (args.name or
+            os.path.splitext(os.path.basename(args.base[0]))[0]
+            if args.base else args.name)
     if args.resume:
         logdir = args.resume
     elif args.auto_resume and (found := ckpt_io.find_resume(args.logdir, name)):
         print(f"Auto-resuming from {found}")
         logdir = found
     else:
+        logdir = None
+    if logdir:
+        # reference main.py:631-632: a resumed run re-merges the configs
+        # persisted in its logdir BEFORE the -b bases and CLI overrides, so
+        # the original hyperparameters survive a bare-resume invocation
+        import glob as _glob
+
+        persisted = sorted(_glob.glob(os.path.join(logdir, "configs",
+                                                   "*.yaml")))
+        if persisted:
+            args.base = persisted + list(args.base)
+    cfg = load_configs(args.base, dotlist=[u for u in unknown if "=" in u])
+    if not name:
+        name = os.path.splitext(os.path.basename(args.base[0]))[0]
+    if logdir is None:
         logdir = os.path.join(args.logdir, f"{now}_{name}")
         _RUN_LOGDIR.update(fresh=True)
     _RUN_LOGDIR.update(path=logdir)

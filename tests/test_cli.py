@@ -148,6 +148,13 @@ def test_main_train_and_resume(workspace):
                   "--n_devices", "2", "--no_test", "True"], REPO)
     assert "Restored training state at step 3" in r2.stdout
 
+    # bare resume with NO --base: the configs persisted in the run dir are
+    # re-merged (reference main.py:631-632)
+    r3 = run_cli(["main.py", "-r", str(logdir / runs[0]), "-t", "True",
+                  "--max_steps", "6", "--log_every_steps", "1",
+                  "--n_devices", "2", "--no_test", "True"], REPO)
+    assert "Restored training state at step 5" in r3.stdout
+
 
 def test_sample_cli_on_dataset(workspace):
     root, cfg_path = workspace
