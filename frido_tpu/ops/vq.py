@@ -13,6 +13,7 @@ large N*K.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 # distance tensor below this many f32 elements fits comfortably in cache /
@@ -50,7 +51,13 @@ def vq_lookup(z: jnp.ndarray, codebook: jnp.ndarray):
     z_flat = z.reshape(-1, d)
     n, k = z_flat.shape[0], codebook.shape[0]
     if use_pallas() and n * k >= _PALLAS_MIN_NK:
-        idx = vq_argmin(z_flat, codebook)
+        # argmin is piecewise-constant (zero tangent everywhere); cutting
+        # the inputs' tangents states that exactly and keeps autodiff from
+        # attempting a JVP of the Pallas kernel when a caller differentiates
+        # through the quantizer (codebook/z grads flow via the take below
+        # and the straight-through estimator, never through the argmin)
+        idx = vq_argmin(jax.lax.stop_gradient(z_flat),
+                        jax.lax.stop_gradient(codebook))
     else:
         dist = vq_distances(z_flat, codebook)
         idx = jnp.argmin(dist, axis=1)

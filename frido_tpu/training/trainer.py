@@ -84,9 +84,7 @@ def make_train_step(model, tx: optax.GradientTransformation,
             diffusion_loss,
             policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
 
-    def loss_fn(params, image, tokens, t, noise):
-        z = model.encode_first_stage(params, image)
-        z = jax.lax.stop_gradient(z)
+    def loss_fn(params, z, tokens, t, noise):
         ctx = None
         if tokens is not None:
             ctx = model.module.apply(params, tokens, method="encode_cond")
@@ -102,8 +100,15 @@ def make_train_step(model, tx: optax.GradientTransformation,
         noise = jax.random.normal(
             n_key, (b, lat, lat, model.channels), jnp.float32)
 
+        # frozen first stage OUTSIDE the differentiated closure (the
+        # reference encodes under torch.no_grad, frido.py:604-611): no
+        # linearization of the VQGAN encoder, and the non-differentiable
+        # Pallas VQ argmin never sees tangents
+        z = jax.lax.stop_gradient(
+            model.encode_first_stage(state.params, image))
+
         (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, image, tokens, t, noise)
+            state.params, z, tokens, t, noise)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         if use_ema:

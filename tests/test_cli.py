@@ -211,6 +211,39 @@ def test_sample_cli_run_dir_resume(workspace, tmp_path):
     assert len(pngs) >= 2
 
 
+def test_msvqgan_train_cli(workspace, tmp_path):
+    """scripts/train_msvqgan.py runs the two-phase G/D step end to end on
+    the synthetic COCO workspace and writes a train-state checkpoint."""
+    root, cfg_path = workspace
+    base = yaml.safe_load(open(cfg_path))
+    cfg = {
+        "model": {
+            "base_learning_rate": 4.5e-6,
+            "target": "taming.models.msvqgan.MSFPNVQModel",
+            "params": dict(
+                embed_dim=[4, 4], n_embed=[32, 32],
+                edconfig=TINY_ED, ddconfig=TINY_DD,
+                lossconfig=dict(
+                    target="taming.modules.losses.vqperceptual."
+                           "VQLPIPSWithDiscriminator",
+                    params=dict(disc_conditional=False, disc_in_channels=3,
+                                disc_start=0, disc_weight=0.8,
+                                codebook_weight=1.0,
+                                perceptual_weight=0.0))),
+        },
+        "data": base["data"],
+    }
+    mcfg = tmp_path / "tiny_msvqgan.yaml"
+    yaml.safe_dump(cfg, open(mcfg, "w"))
+    logdir = tmp_path / "vq_logs"
+    r = run_cli(["scripts/train_msvqgan.py", "-b", str(mcfg),
+                 "-l", str(logdir), "--max_steps", "2",
+                 "--log_every_steps", "1", "--ckpt_every_steps", "0"], REPO)
+    assert "aeloss" in r.stdout
+    runs = list(logdir.glob("*msvqgan*"))
+    assert runs and list((runs[0] / "checkpoints").glob("step_*"))
+
+
 def test_debug_mode_relocates_failed_run(workspace, tmp_path):
     """--debug moves a fresh failed run's logdir under debug_runs/
     (reference main.py:843-857)."""
