@@ -429,13 +429,24 @@ class FridoDiffusion:
         return jnp.concatenate(parts, axis=-1)
 
     def p_losses(self, params, z, context, t, stage: int, noise,
-                 deterministic: bool = False):
-        """Single-stage eps loss (``frido.py:1180-1224``)."""
+                 deterministic: bool = False, compute_dtype=None):
+        """Single-stage eps loss (``frido.py:1180-1224``).
+
+        compute_dtype: run the UNet forward (and its backward) in this dtype
+        (bf16 on TPU) with fp32 master params and fp32 loss math. The
+        reference's fp16 flag is a no-op (``pyunet.py:26-30``); this is the
+        real mixed-precision path the MXU wants."""
         start = sum(self.embed_dim_list[:stage])
         end = sum(self.embed_dim_list[:stage + 1])
         x_noisy = self.q_sample_stage(z, t, stage, noise)
+        if compute_dtype is not None:
+            x_noisy = x_noisy.astype(compute_dtype)
+            if context is not None:
+                context = context.astype(compute_dtype)
         model_out = self.apply_model(params, x_noisy, t, context, stage,
                                      deterministic)
+        if compute_dtype is not None:
+            model_out = model_out.astype(jnp.float32)
         if self.parameterization == "eps":
             target = noise
         else:
@@ -456,14 +467,16 @@ class FridoDiffusion:
         return loss, {f"loss_simple_stage{stage}": loss_simple.mean(),
                       f"loss_vlb_stage{stage}": lvlb}
 
-    def training_loss(self, params, z, context, t, noise):
+    def training_loss(self, params, z, context, t, noise,
+                      compute_dtype=None):
         """Sum of per-stage losses weighted by stage_loss_ratio
         (``frido.py:1035-1050``)."""
         assert len(self.stage_loss_ratio) == self.num_stage
         total = 0.0
         logs = {}
         for s in range(self.num_stage):
-            loss, d = self.p_losses(params, z, context, t, s, noise)
+            loss, d = self.p_losses(params, z, context, t, s, noise,
+                                    compute_dtype=compute_dtype)
             total = total + loss * self.stage_loss_ratio[s]
             for k, v in d.items():
                 logs[k] = v * self.stage_loss_ratio[s]

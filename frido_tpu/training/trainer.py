@@ -63,7 +63,8 @@ def create_train_state(model, params: Dict[str, Any],
 
 
 def make_train_step(model, tx: optax.GradientTransformation,
-                    use_ema: bool = True, remat: bool = False) -> Callable:
+                    use_ema: bool = True, remat: bool = False,
+                    compute_dtype=None) -> Callable:
     """Returns step(state, batch, rng) -> (state, logs).
 
     batch: {'image': [B, H, W, 3] float in [-1, 1], 'tokens': [B, L] int32}
@@ -74,10 +75,16 @@ def make_train_step(model, tx: optax.GradientTransformation,
     (``pyunet.py:257-259``). The policy keeps matmul/conv outputs and
     recomputes elementwise chains, trading ~1 extra forward's FLOPs for
     most of the activation memory.
+
+    compute_dtype: UNet fwd/bwd in this dtype (bf16) with fp32 master
+    params, fp32 optimizer/EMA state and fp32 loss math — halves
+    activation memory and doubles MXU throughput vs the fp32 parity
+    default. The frozen first-stage encode also runs in this dtype.
     """
 
     def diffusion_loss(params, z, ctx, t, noise):
-        return model.training_loss(params, z, ctx, t, noise)
+        return model.training_loss(params, z, ctx, t, noise,
+                                   compute_dtype=compute_dtype)
 
     if remat:
         diffusion_loss = jax.checkpoint(
@@ -104,8 +111,11 @@ def make_train_step(model, tx: optax.GradientTransformation,
         # reference encodes under torch.no_grad, frido.py:604-611): no
         # linearization of the VQGAN encoder, and the non-differentiable
         # Pallas VQ argmin never sees tangents
+        if compute_dtype is not None:
+            image = image.astype(compute_dtype)
         z = jax.lax.stop_gradient(
             model.encode_first_stage(state.params, image))
+        z = z.astype(jnp.float32)
 
         (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, z, tokens, t, noise)

@@ -61,6 +61,11 @@ def get_parser():
                    help="data-parallel devices (0 = all)")
     p.add_argument("--accumulate_grad_batches", type=int, default=1)
     p.add_argument("--img_log_every_steps", type=int, default=1000)
+    p.add_argument("--bf16_train", type=str2bool, default=False, nargs="?",
+                   const=True,
+                   help="mixed-precision training: bf16 UNet fwd/bwd with "
+                        "fp32 master params/optimizer (the reference's fp16 "
+                        "flag is a no-op; fp32 remains the parity default)")
     p.add_argument("--uncond_gen_mode", type=str2bool, default=False,
                    nargs="?", const=True,
                    help="reset the test-pass seed to seed+rank for "
@@ -158,6 +163,7 @@ def main():
 
 def _main(args, unknown):
     import jax
+    import jax.numpy as jnp
 
     from frido_tpu.config import instantiate_from_config, load_configs
     from frido_tpu.io import checkpoint as ckpt_io
@@ -259,7 +265,9 @@ def _main(args, unknown):
     use_remat = bool(mp.get("unet_config", {}).get("params", {})
                      .get("use_checkpoint", False))
     step_fn = jax.jit(
-        trainer.make_train_step(model, masked_tx, remat=use_remat),
+        trainer.make_train_step(
+            model, masked_tx, remat=use_remat,
+            compute_dtype=jnp.bfloat16 if args.bf16_train else None),
         in_shardings=(pmesh.replicated(mesh), pmesh.batch_sharding(mesh),
                       pmesh.replicated(mesh)),
         out_shardings=(pmesh.replicated(mesh), pmesh.replicated(mesh)))

@@ -7,7 +7,8 @@ the analogue of the reference's Lightning steps/sec on a V100
 (``/root/reference/main.py`` training loop). Prints one JSON line.
 
 Env: BENCH_BATCH (default 16), BENCH_REPEATS (default 3), BENCH_REMAT=1 to
-measure the gradient-checkpointed step.
+measure the gradient-checkpointed step, BENCH_BF16=1 for the
+mixed-precision (bf16 compute, fp32 master) step.
 """
 
 from __future__ import annotations
@@ -27,6 +28,7 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     remat = os.environ.get("BENCH_REMAT", "0") == "1"
+    bf16 = os.environ.get("BENCH_BF16", "0") == "1"
 
     import __graft_entry__ as g
     from frido_tpu.config import load_yaml
@@ -48,8 +50,11 @@ def main():
     tx = optim.build_optimizer(1e-4)
     state, masked_tx = trainer.create_train_state(model, params, tx)
     state = jax.device_put(state, jax.devices()[0])
-    step_fn = jax.jit(trainer.make_train_step(model, masked_tx, remat=remat),
-                      donate_argnums=(0,))
+    step_fn = jax.jit(
+        trainer.make_train_step(
+            model, masked_tx, remat=remat,
+            compute_dtype=jnp.bfloat16 if bf16 else None),
+        donate_argnums=(0,))
 
     side = 4 * 2 ** (len(cfg["first_stage_config"]["params"]
                          ["edconfig"]["ch_mult"]) - 1) * 4  # 256
@@ -72,7 +77,8 @@ def main():
     best = min(times)
     print(json.dumps({
         "metric": f"t2i f16f8 train step imgs/sec/chip"
-                  f"{' (remat)' if remat else ''}",
+                  f"{' (remat)' if remat else ''}"
+                  f"{' (bf16)' if bf16 else ''}",
         "value": round(batch / best, 4),
         "unit": "img/s",
         "batch": batch,

@@ -90,6 +90,38 @@ def test_train_loss_decreases(diffusion_model):
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
 
 
+def test_bf16_train_step_matches_fp32(diffusion_model):
+    """Mixed-precision step (bf16 compute, fp32 master): loss and updated
+    params track the fp32 step within bf16 resolution, and params/opt
+    state stay fp32."""
+    model, params = diffusion_model
+    tx = optim.build_optimizer(1e-3)
+    state, masked = trainer.create_train_state(model, params, tx)
+    batch = {"image": jnp.asarray(
+        np.random.RandomState(0).randn(2, 32, 32, 3), jnp.float32),
+        "tokens": jnp.asarray(
+            np.random.RandomState(1).randint(0, 32, (2, 8)))}
+    rng = jax.random.PRNGKey(0)
+    step32 = jax.jit(trainer.make_train_step(model, masked))
+    step16 = jax.jit(trainer.make_train_step(
+        model, masked, compute_dtype=jnp.bfloat16))
+    s32, l32 = step32(state, batch, rng)
+    s16, l16 = step16(state, batch, rng)
+    assert np.isfinite(float(l16["loss"]))
+    np.testing.assert_allclose(float(l16["loss"]), float(l32["loss"]),
+                               rtol=0.05)
+    w16 = s16.params["params"]["model"]["diffusion_model"]["time_embed__0"]["kernel"]
+    w32 = s32.params["params"]["model"]["diffusion_model"]["time_embed__0"]["kernel"]
+    assert w16.dtype == jnp.float32
+    # AdamW normalizes the update to ~lr scale, so same-sign agreement of
+    # the two steps' deltas is the meaningful check
+    d16 = np.asarray(w16) - np.asarray(
+        state.params["params"]["model"]["diffusion_model"]["time_embed__0"]["kernel"])
+    d32 = np.asarray(w32) - np.asarray(
+        state.params["params"]["model"]["diffusion_model"]["time_embed__0"]["kernel"])
+    assert (np.sign(d16) == np.sign(d32)).mean() > 0.8
+
+
 def test_ema_ramp():
     p0 = {"w": jnp.ones((3,))}
     shadow, n = init_ema(p0)
