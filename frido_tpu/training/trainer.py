@@ -52,7 +52,11 @@ def build_masked_optimizer(tx: optax.GradientTransformation,
 def create_train_state(model, params: Dict[str, Any],
                        tx: optax.GradientTransformation) -> Tuple[TrainState, optax.GradientTransformation]:
     masked = build_masked_optimizer(tx, params)
-    ema, n = init_ema(params)
+    # EMA shadows ONLY the denoiser wrapper, like the reference's LitEma
+    # on self.model (frido.py:95-99) — not the frozen first stage or the
+    # cond stage. Saves ~2x their bytes in HBM and matches the reference's
+    # sampling behavior (raw cond-stage weights + EMA UNet).
+    ema, n = init_ema(params["params"]["model"])
     return TrainState(
         params=params,
         opt_state=masked.init(params),
@@ -60,6 +64,12 @@ def create_train_state(model, params: Dict[str, Any],
         ema_updates=n,
         step=jnp.zeros((), jnp.int32),
     ), masked
+
+
+def ema_full_params(state: TrainState) -> Dict[str, Any]:
+    """Full params tree with the EMA denoiser swapped in — the functional
+    form of the reference's ``ema_scope`` (``frido.py:181-194``)."""
+    return {"params": {**state.params["params"], "model": state.ema_params}}
 
 
 def make_train_step(model, tx: optax.GradientTransformation,
@@ -122,7 +132,8 @@ def make_train_step(model, tx: optax.GradientTransformation,
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         if use_ema:
-            ema, n = update_ema(state.ema_params, params, state.ema_updates)
+            ema, n = update_ema(state.ema_params, params["params"]["model"],
+                                state.ema_updates)
         else:
             ema, n = state.ema_params, state.ema_updates
         new_state = TrainState(params=params, opt_state=opt_state,

@@ -270,7 +270,10 @@ def _main(args, unknown):
             compute_dtype=jnp.bfloat16 if args.bf16_train else None),
         in_shardings=(pmesh.replicated(mesh), pmesh.batch_sharding(mesh),
                       pmesh.replicated(mesh)),
-        out_shardings=(pmesh.replicated(mesh), pmesh.replicated(mesh)))
+        out_shardings=(pmesh.replicated(mesh), pmesh.replicated(mesh)),
+        # donate the train state: params/opt/EMA update in place instead of
+        # allocating a second copy of the largest buffers every step
+        donate_argnums=(0,))
     eval_fn = jax.jit(
         trainer.make_eval_step(model),
         in_shardings=(pmesh.replicated(mesh), pmesh.batch_sharding(mesh),
@@ -312,7 +315,8 @@ def _main(args, unknown):
             arrays = pmesh.shard_batch(mesh, batch_to_arrays(model, vbatch))
             vrng, k = jax.random.split(vrng)
             losses.append(float(eval_fn(state.params, arrays, k)))
-            losses_ema.append(float(eval_fn(state.ema_params, arrays, k)))
+            losses_ema.append(float(eval_fn(
+                trainer.ema_full_params(state), arrays, k)))
             if (i == 0 and img_logger.every_steps > 0
                     and step - last_val_img["step"]
                     >= img_logger.every_steps):
@@ -320,8 +324,9 @@ def _main(args, unknown):
                 try:  # val-split image grids, like the reference's
                     # ImageLogger on validation batches (main.py:495-538)
                     img_logger.log_train(
-                        model, jax.device_get(state.ema_params), vbatch,
-                        step, split="val",
+                        model,
+                        jax.device_get(trainer.ema_full_params(state)),
+                        vbatch, step, split="val",
                         dataset=data.datasets.get("validation"))
                 except Exception as e:
                     print(f"val image logging failed: {e}")
@@ -370,8 +375,10 @@ def _main(args, unknown):
                         # sample under EMA weights, like the reference's
                         # ema_scope around log_images (frido.py:1454-1590)
                         img_logger.log_train(
-                            model, jax.device_get(state.ema_params), batch,
-                            step, dataset=data.datasets.get("train"))
+                            model,
+                            jax.device_get(trainer.ema_full_params(state)),
+                            batch, step,
+                            dataset=data.datasets.get("train"))
                     except Exception as e:  # logging must never kill a run
                         print(f"image logging failed: {e}")
                 if args.ckpt_every_steps and step % args.ckpt_every_steps == 0:
@@ -390,7 +397,8 @@ def _main(args, unknown):
         # write per-sample PNGs, the reference's trainer.test + ImageLogger
         # behavior (main.py:835-842, 451-493)
         print("testing time")
-        run_test(args, model, jax.device_get(state.ema_params), data, logdir)
+        run_test(args, model, jax.device_get(trainer.ema_full_params(state)),
+                 data, logdir)
 
 
 def run_test(args, model, params, data, logdir):

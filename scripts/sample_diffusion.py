@@ -131,8 +131,16 @@ def build_model(cfg, ckpt, use_ema=True):
             if isinstance(raw, dict) and "ema_params" in raw:
                 # a full train-state dir (step_N / best / last target):
                 # sample under the EMA tree like the reference's ema_scope
-                tree = (raw["ema_params"] if use_ema and
-                        raw.get("ema_params") is not None else raw["params"])
+                tree = raw["params"]
+                ema = raw.get("ema_params")
+                if use_ema and ema is not None:
+                    if "diffusion_model" in ema:
+                        # UNet-only shadow (LitEma wraps self.model):
+                        # swap it into the full tree
+                        tree = {"params": {**raw["params"]["params"],
+                                           "model": ema}}
+                    else:  # legacy full-tree shadow
+                        tree = ema
                 print(f"Restored {'EMA ' if use_ema else ''}params from "
                       f"train state {ckpt}")
                 params = jax.tree_util.tree_map(np.asarray, tree)

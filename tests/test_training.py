@@ -69,8 +69,14 @@ def test_train_step_runs_and_freezes_first_stage(diffusion_model):
     b2 = state.params["params"]["model"]["diffusion_model"]["time_embed__0"]["kernel"]
     a2 = s1.params["params"]["model"]["diffusion_model"]["time_embed__0"]["kernel"]
     assert np.abs(np.asarray(a2) - np.asarray(b2)).max() > 0
-    # EMA advanced
+    # EMA advanced, and shadows only the denoiser wrapper (the reference's
+    # LitEma wraps self.model, not first/cond stage — frido.py:95-99)
     assert int(s1.ema_updates) == 1
+    assert "diffusion_model" in s1.ema_params
+    assert "first_stage_model" not in s1.ema_params
+    full = trainer.ema_full_params(s1)
+    assert "first_stage_model" in full["params"]
+    assert full["params"]["model"] is s1.ema_params
 
 
 def test_train_loss_decreases(diffusion_model):
