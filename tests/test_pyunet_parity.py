@@ -106,3 +106,38 @@ def test_pyunet_no_spade_no_split(reference_path):
         ref_out = ref(x, t, stage=torch.tensor(0))
     ours = mod.apply({"params": ported}, t2j(x), jnp.asarray(t.numpy()), stage=0)
     np.testing.assert_allclose(j2t(ours), ref_out.numpy(), atol=ATOL)
+
+
+@requires_reference
+def test_import_ema_flat_names(ported_unet):
+    """EMA buffers in reference checkpoints use LitEma's flattened names
+    (``model_ema.`` + param name with dots deleted, ema.py:16-20);
+    import_ema must regenerate each flat key from the pytree path and apply
+    the same layout conversions as the plain importer."""
+    from frido_tpu.training.ema import import_ema
+
+    ref, mod, params = ported_unet
+    delta = 0.125
+    # checkpoint-style dicts: shifted values under flat EMA names vs the
+    # same shifted values under normal (dotted) keys
+    sd_ema, sd_plain = {}, {}
+    for k, v in ref.named_parameters():
+        shifted = v.detach().numpy() + delta
+        full = "diffusion_model." + k
+        sd_ema["model_ema." + full.replace(".", "")] = shifted
+        sd_plain["model.of." + full] = shifted  # prefix stripped below
+
+    tree = {"diffusion_model": params["params"]}
+    got = import_ema(tree, sd_ema)
+    want = {"diffusion_model": import_state_dict(
+        params["params"],
+        {k[len("model.of.diffusion_model."):]: v
+         for k, v in sd_plain.items()})}
+    flat_got = jax.tree_util.tree_leaves_with_path(got)
+    flat_want = dict(jax.tree_util.tree_leaves_with_path(want))
+    n_checked = 0
+    for path, leaf in flat_got:
+        np.testing.assert_allclose(leaf, flat_want[path], atol=1e-6,
+                                   err_msg=str(path))
+        n_checked += 1
+    assert n_checked == len(flat_want)
