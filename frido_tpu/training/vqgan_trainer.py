@@ -50,20 +50,32 @@ def create_vqgan_train_state(module, loss_wrapper, rng, tx_g, tx_d,
 
 
 def make_vqgan_train_step(module, loss_wrapper, tx_g, tx_d,
-                          use_aux_loss: bool = False) -> Callable:
-    """step(state, images) -> (state, logs); images NHWC in [-1, 1]."""
+                          use_aux_loss: bool = False,
+                          compute_dtype=None) -> Callable:
+    """step(state, images) -> (state, logs); images NHWC in [-1, 1].
+
+    compute_dtype: run the VQGAN encoder/decoder fwd/bwd in this dtype
+    (bf16) with fp32 master params; the recon/GAN losses, discriminator
+    and the adaptive d_weight (grad-norm ratio) stay fp32."""
     cb_w = loss_wrapper.codebook_weight
     disc_factor0 = loss_wrapper.disc_factor
     disc_start = loss_wrapper.disc_start
     d_weight_max = loss_wrapper.discriminator_weight
 
     def gen_losses(params_g, vars_d, x):
+        xin = x.astype(compute_dtype) if compute_dtype is not None else x
         if use_aux_loss:
             dec, dec_aux, qloss, _ = module.apply(
-                params_g, x, False, method="forward_with_aux")
+                params_g, xin, False, method="forward_with_aux")
         else:
-            dec, qloss, _ = module.apply(params_g, x, False)
+            dec, qloss, _ = module.apply(params_g, xin, False)
             dec_aux = None
+        if compute_dtype is not None:
+            dec = dec.astype(jnp.float32)
+            qloss = qloss.astype(jnp.float32)
+            if dec_aux is not None:
+                dec_aux = jax.tree_util.tree_map(
+                    lambda a: a.astype(jnp.float32), dec_aux)
         nll, nll_logs = loss_wrapper.nll_loss(vars_d, x, dec, dec_aux)
         logits_fake, _ = loss_wrapper.logits(vars_d, dec, train=True)
         g_loss = -jnp.mean(logits_fake)

@@ -32,6 +32,9 @@ def main():
     p.add_argument("--log_every_steps", type=int, default=50)
     p.add_argument("--ckpt_every_steps", type=int, default=2000)
     p.add_argument("--scale_lr", default=True)
+    p.add_argument("--bf16_train", action="store_true",
+                   help="bf16 encoder/decoder compute, fp32 master params "
+                        "and losses")
     args, unknown = p.parse_known_args()
 
     import jax
@@ -73,7 +76,13 @@ def main():
             module, loss, jax.random.PRNGKey(args.seed), tx_g, tx_d,
             image_shape=(1, size, size, 3))
     state = jax.device_put(state, jax.devices()[0])
-    step_fn = jax.jit(make_vqgan_train_step(module, loss, tx_g, tx_d))
+    import jax.numpy as _jnp
+
+    step_fn = jax.jit(
+        make_vqgan_train_step(
+            module, loss, tx_g, tx_d,
+            compute_dtype=_jnp.bfloat16 if args.bf16_train else None),
+        donate_argnums=(0,))
 
     step = 0
     t_last = time.time()

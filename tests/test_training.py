@@ -191,3 +191,12 @@ def test_vqgan_gan_step():
     step2 = jax.jit(make_vqgan_train_step(mod, loss2, tx_g, tx_d))
     s2, logs2 = step2(state, x)
     assert float(logs2["discloss"]) == 0.0  # gated before disc_start
+    # bf16 compute variant tracks the fp32 step (fp32 losses/d_weight)
+    step16 = jax.jit(make_vqgan_train_step(mod, loss, tx_g, tx_d,
+                                           compute_dtype=jnp.bfloat16))
+    s16, logs16 = step16(state, x)
+    assert np.isfinite(float(logs16["aeloss"]))
+    np.testing.assert_allclose(float(logs16["nll_loss"]),
+                               float(logs["nll_loss"]), rtol=0.05)
+    w = jax.tree_util.tree_leaves(s16.params_g)[0]
+    assert w.dtype == jnp.float32
