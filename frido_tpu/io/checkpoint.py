@@ -75,7 +75,20 @@ def restore_train_state(ckpt_dir: str, like: Any,
             meta = json.load(f)
         step = meta["step"]
     path = os.path.join(ckpt_dir, f"step_{step}")
-    return _ckptr().restore(os.path.abspath(path), item=like), step
+    try:
+        return _ckptr().restore(os.path.abspath(path), item=like), step
+    except ValueError:
+        # legacy layout: ema_params was a full params tree (shadowing the
+        # frozen first stage and cond stage too); newer states shadow only
+        # the denoiser wrapper. Restore with a full-tree template, then
+        # slice the denoiser subtree out.
+        if not (hasattr(like, "ema_params") and hasattr(like, "params")
+                and "model" in like.params.get("params", {})):
+            raise
+        legacy_like = like.replace(ema_params=like.params)
+        restored = _ckptr().restore(os.path.abspath(path), item=legacy_like)
+        return restored.replace(
+            ema_params=restored.ema_params["params"]["model"]), step
 
 
 def find_resume(log_root: str, name: str) -> Optional[str]:

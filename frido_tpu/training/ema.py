@@ -19,8 +19,13 @@ import numpy as np
 
 
 def init_ema(params: Any) -> Tuple[Any, jnp.ndarray]:
-    """Returns (shadow_params, num_updates)."""
-    return jax.tree_util.tree_map(jnp.asarray, params), jnp.zeros((), jnp.int32)
+    """Returns (shadow_params, num_updates).
+
+    The shadow leaves are COPIES: ``jnp.asarray`` on a jax array is a
+    no-op, and aliased shadow/param buffers break buffer donation of the
+    train state ("attempt to donate the same buffer twice")."""
+    return (jax.tree_util.tree_map(lambda p: jnp.array(p, copy=True), params),
+            jnp.zeros((), jnp.int32))
 
 
 def update_ema(shadow: Any, params: Any, num_updates: jnp.ndarray,

@@ -69,7 +69,8 @@ def create_train_state(model, params: Dict[str, Any],
 def ema_full_params(state: TrainState) -> Dict[str, Any]:
     """Full params tree with the EMA denoiser swapped in — the functional
     form of the reference's ``ema_scope`` (``frido.py:181-194``)."""
-    return {"params": {**state.params["params"], "model": state.ema_params}}
+    return {**state.params,
+            "params": {**state.params["params"], "model": state.ema_params}}
 
 
 def make_train_step(model, tx: optax.GradientTransformation,
@@ -148,7 +149,7 @@ def make_train_step(model, tx: optax.GradientTransformation,
 
 def make_eval_step(model) -> Callable:
     """Validation loss under a given params tree (pass ``state.params`` for
-    ``val/loss`` and ``state.ema_params`` for ``val/loss_ema`` — the
+    ``val/loss`` and ``ema_full_params(state)`` for ``val/loss_ema`` — the
     reference's checkpoint monitor, ``frido.py:111-112``). Deterministic
     per-batch: t/noise keyed only by the rng."""
 

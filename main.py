@@ -296,7 +296,16 @@ def _main(args, unknown):
     signal.signal(signal.SIGUSR1, lambda *_: stop_requested.update(save=True))
 
     def save(step):
-        ckpt_io.save_train_state(ckptdir, step, state)
+        try:
+            ckpt_io.save_train_state(ckptdir, step, state)
+        except RuntimeError as e:
+            # an interrupt can land while the donated state is mid-step
+            # (input buffers already consumed, result not yet bound); the
+            # previous `last` checkpoint is still intact on disk
+            if "deleted" not in str(e).lower():
+                raise
+            print(f"skipping rescue save (state mid-step): {e}")
+            return
         print(f"Saved checkpoint at step {step}")
 
     best_monitor = {"value": float("inf")}

@@ -8,7 +8,9 @@ the analogue of the reference's Lightning steps/sec on a V100
 
 Env: BENCH_BATCH (default 16), BENCH_REPEATS (default 3), BENCH_REMAT=1 to
 measure the gradient-checkpointed step, BENCH_BF16=1 for the
-mixed-precision (bf16 compute, fp32 master) step.
+mixed-precision (bf16 compute, fp32 master) step, BENCH_MODEL=msvqgan to
+measure the first-stage GAN step (f16f8 MS-VQGAN at 256², G+D phases)
+instead of the diffusion step.
 """
 
 from __future__ import annotations
@@ -23,12 +25,80 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def time_step(step_fn, first_args, repeats, sync, next_args=None):
+    """Warm up once, then report best-of-N wall time. ``sync(logs)`` must
+    fetch a scalar (the tunnel-safe barrier); ``next_args(state, i)``
+    builds the i-th call's remaining args."""
+    state, logs = step_fn(*first_args)
+    sync(logs)
+    times = []
+    for i in range(repeats):
+        args = next_args(state, i) if next_args else first_args[1:]
+        t0 = time.perf_counter()
+        state, logs = step_fn(state, *args)
+        sync(logs)
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def report(metric, batch, best):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(batch / best, 4),
+        "unit": "img/s",
+        "batch": batch,
+        "step_ms": round(best * 1000, 1),
+    }))
+
+
+def bench_msvqgan(batch, repeats, bf16):
+    """First-stage GAN step: f16f8 MS-VQGAN at 256² on the msvqgan
+    config (tools/msvqgan/train_msvqgan_f16f8_coco.sh path)."""
+    import optax
+
+    from frido_tpu.config import instantiate_from_config, load_yaml
+    from frido_tpu.models.msvqgan import msvqgan_from_config
+    from frido_tpu.training.vqgan_trainer import (
+        create_vqgan_train_state,
+        make_vqgan_train_step,
+    )
+
+    mp = load_yaml(os.path.join(
+        REPO, "configs/msvqgan/msvqgan_f16f8_coco.yaml"))["model"]["params"]
+    module = msvqgan_from_config(mp, name=None)
+    # perceptual_weight needs local VGG weights (zero-egress); bench the
+    # L1+GAN step like DummyLoss-less training without LPIPS
+    mp["lossconfig"]["params"]["perceptual_weight"] = 0.0
+    loss = instantiate_from_config(mp["lossconfig"])
+    tx_g = optax.adam(4.5e-6, b1=0.5, b2=0.9)
+    tx_d = optax.adam(4.5e-6, b1=0.5, b2=0.9)
+    with jax.default_device(jax.devices("cpu")[0]):
+        state = create_vqgan_train_state(
+            module, loss, jax.random.PRNGKey(0), tx_g, tx_d,
+            image_shape=(1, 256, 256, 3))
+    state = jax.device_put(state, jax.devices()[0])
+    step_fn = jax.jit(
+        make_vqgan_train_step(
+            module, loss, tx_g, tx_d,
+            compute_dtype=jnp.bfloat16 if bf16 else None),
+        donate_argnums=(0,))
+    x = jnp.zeros((batch, 256, 256, 3), jnp.float32)
+    best = time_step(step_fn, (state, x), repeats,
+                     sync=lambda logs: float(logs["aeloss"]))
+    report("msvqgan f16f8 GAN step imgs/sec/chip"
+           f"{' (bf16)' if bf16 else ''}", batch, best)
+
 
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     remat = os.environ.get("BENCH_REMAT", "0") == "1"
     bf16 = os.environ.get("BENCH_BF16", "0") == "1"
+    if os.environ.get("BENCH_MODEL", "") == "msvqgan":
+        return bench_msvqgan(batch, repeats, bf16)
 
     import __graft_entry__ as g
     from frido_tpu.config import load_yaml
@@ -63,27 +133,13 @@ def main():
         "tokens": jnp.zeros((batch, 77), jnp.int32),
     }
     rng = jax.random.PRNGKey(0)
-
-    state, logs = step_fn(state, batch_arrays, rng)  # compile
-    float(logs["loss"])  # sync (scalar fetch is the tunnel-safe barrier)
-
-    times = []
-    for i in range(repeats):
-        t0 = time.perf_counter()
-        state, logs = step_fn(state, batch_arrays, jax.random.fold_in(rng, i))
-        float(logs["loss"])
-        times.append(time.perf_counter() - t0)
-
-    best = min(times)
-    print(json.dumps({
-        "metric": f"t2i f16f8 train step imgs/sec/chip"
-                  f"{' (remat)' if remat else ''}"
-                  f"{' (bf16)' if bf16 else ''}",
-        "value": round(batch / best, 4),
-        "unit": "img/s",
-        "batch": batch,
-        "step_ms": round(best * 1000, 1),
-    }))
+    best = time_step(
+        step_fn, (state, batch_arrays, rng), repeats,
+        sync=lambda logs: float(logs["loss"]),
+        next_args=lambda s, i: (batch_arrays, jax.random.fold_in(rng, i)))
+    report(f"t2i f16f8 train step imgs/sec/chip"
+           f"{' (remat)' if remat else ''}"
+           f"{' (bf16)' if bf16 else ''}", batch, best)
 
 
 if __name__ == "__main__":

@@ -128,6 +128,37 @@ def test_bf16_train_step_matches_fp32(diffusion_model):
     assert (np.sign(d16) == np.sign(d32)).mean() > 0.8
 
 
+def test_ema_shadow_is_a_copy():
+    """Shadow leaves must not alias the param buffers: with the train
+    state donated, aliased leaves make XLA reject the step ('attempt to
+    donate the same buffer twice')."""
+    p = {"w": jnp.ones((8,))}
+    shadow, _ = init_ema(p)
+    assert (shadow["w"].unsafe_buffer_pointer()
+            != p["w"].unsafe_buffer_pointer())
+
+
+def test_restore_legacy_full_tree_ema(diffusion_model, tmp_path):
+    """Checkpoints written when the EMA shadowed the full param tree must
+    still resume: restore falls back to a full-tree template and slices
+    out the denoiser subtree."""
+    from frido_tpu.io import checkpoint as ckpt_io
+
+    model, params = diffusion_model
+    tx = optim.build_optimizer(1e-3)
+    state, _ = trainer.create_train_state(model, params, tx)
+    legacy = state.replace(ema_params=jax.tree_util.tree_map(
+        lambda p: jnp.array(p, copy=True), state.params))
+    ckpt_io.save_train_state(str(tmp_path), 7, legacy)
+    restored, step = ckpt_io.restore_train_state(str(tmp_path), state)
+    assert step == 7
+    assert "diffusion_model" in restored.ema_params
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(restored.ema_params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(
+            legacy.ema_params["params"]["model"])[0]))
+
+
 def test_ema_ramp():
     p0 = {"w": jnp.ones((3,))}
     shadow, n = init_ema(p0)
