@@ -4,10 +4,10 @@ Replaces the Lightning two-optimizer alternation
 (``/root/reference/taming/models/msvqgan.py:199-261``) with one jitted step
 that runs both phases. The adaptive generator weight
 ``|grad_nll| / |grad_g|`` w.r.t. the decoder's final conv kernel
-(``vqperceptual.py:67-78``) falls out of the two backward passes we compute
-anyway: the combined update is
-``grad(nll + cb*qloss) + d_weight * disc_factor * grad(g_loss)`` with
-d_weight stop-gradiented — exactly the torch graph.
+(``vqperceptual.py:67-78``) comes from two cheap last-layer-only backward
+passes (the torch ``autograd.grad(loss, last_layer)`` graph), then ONE full
+backward of ``nll + cb*qloss + d_weight * disc_factor * g_loss`` with
+d_weight stop-gradiented — identical update by linearity.
 """
 
 from __future__ import annotations
@@ -84,27 +84,45 @@ def make_vqgan_train_step(module, loss_wrapper, tx_g, tx_d,
     def step(state: VQGANTrainState, x: jnp.ndarray):
         disc_factor = jnp.where(state.step < disc_start, 0.0, disc_factor0)
 
-        # ---- generator phase: two backward passes --------------------
-        def f_nll(params_g):
-            nll, qloss, g_loss, dec, logs = gen_losses(params_g,
-                                                       state.vars_d, x)
-            return nll + cb_w * qloss, (nll, qloss, g_loss, dec, logs)
+        # ---- generator phase -----------------------------------------
+        # d_weight = |grad_last(nll)| / |grad_last(g)| needs gradients
+        # w.r.t. the FINAL decoder kernel only — exactly the reference's
+        # torch.autograd.grad(loss, last_layer) (vqperceptual.py:67-78).
+        # Differentiating a closure over just that kernel backprops only
+        # through dec -> losses, not the whole encoder/decoder, so this
+        # costs two cheap tail backwards + ONE full backward of the
+        # combined loss (the old form ran two full backwards).
+        def set_last(params_g, kernel):
+            p = dict(params_g)
+            p["params"] = dict(p["params"])
+            p["params"]["decoder"] = dict(p["params"]["decoder"])
+            p["params"]["decoder"]["conv_out"] = dict(
+                p["params"]["decoder"]["conv_out"])
+            p["params"]["decoder"]["conv_out"]["kernel"] = kernel
+            return p
 
-        def f_g(params_g):
-            _, _, g_loss, _, _ = gen_losses(params_g, state.vars_d, x)
-            return g_loss
+        def f_last(kernel):
+            pg = set_last(state.params_g, kernel)
+            nll, qloss, g_loss, _, _ = gen_losses(pg, state.vars_d, x)
+            return jnp.stack([nll + cb_w * qloss, g_loss])
 
-        (nll_cb, (nll, qloss, g_loss, dec, nll_logs)), grad_nll = (
-            jax.value_and_grad(f_nll, has_aux=True)(state.params_g))
-        grad_g = jax.grad(f_g)(state.params_g)
-
-        gn = jnp.linalg.norm(_last_layer_leaf(grad_nll))
-        gg = jnp.linalg.norm(_last_layer_leaf(grad_g))
+        jac = jax.jacrev(f_last)(_last_layer_leaf(state.params_g))
+        gn = jnp.linalg.norm(jac[0])
+        gg = jnp.linalg.norm(jac[1])
         d_weight = jnp.clip(gn / (gg + 1e-4), 0.0, 1e4) * d_weight_max
         d_weight = jax.lax.stop_gradient(d_weight)
 
-        total_grad = jax.tree_util.tree_map(
-            lambda a, b: a + d_weight * disc_factor * b, grad_nll, grad_g)
+        def f_total(params_g):
+            nll, qloss, g_loss, dec, logs = gen_losses(params_g,
+                                                       state.vars_d, x)
+            total = (nll + cb_w * qloss
+                     + d_weight * disc_factor * g_loss)
+            return total, (nll, qloss, g_loss, dec, logs)
+
+        ((_, (nll, qloss, g_loss, dec, nll_logs)), total_grad) = (
+            jax.value_and_grad(f_total, has_aux=True)(state.params_g))
+        nll_cb = nll + cb_w * qloss
+
         upd_g, opt_g = tx_g.update(total_grad, state.opt_g, state.params_g)
         params_g = optax.apply_updates(state.params_g, upd_g)
 

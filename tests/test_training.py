@@ -222,6 +222,42 @@ def test_vqgan_gan_step():
     step2 = jax.jit(make_vqgan_train_step(mod, loss2, tx_g, tx_d))
     s2, logs2 = step2(state, x)
     assert float(logs2["discloss"]) == 0.0  # gated before disc_start
+    # last-layer-only adaptive-weight formulation == two full backwards:
+    # d_weight and the combined gradient must match the naive graph
+    def gen_losses(params_g, x_):
+        dec, qloss, _ = mod.apply(params_g, x_, False)
+        nll, _ = loss.nll_loss(state.vars_d, x_, dec, None)
+        logits_fake, _ = loss.logits(state.vars_d, dec, train=True)
+        return nll, qloss, -jnp.mean(logits_fake)
+
+    def f_nll(p):
+        nll, q, _ = gen_losses(p, x)
+        return nll + loss.codebook_weight * q
+
+    def f_g(p):
+        return gen_losses(p, x)[2]
+
+    g_nll = jax.grad(f_nll)(state.params_g)
+    g_g = jax.grad(f_g)(state.params_g)
+    last = lambda t: t["params"]["decoder"]["conv_out"]["kernel"]
+    gn = jnp.linalg.norm(last(g_nll))
+    gg = jnp.linalg.norm(last(g_g))
+    want_dw = float(jnp.clip(gn / (gg + 1e-4), 0.0, 1e4)
+                    * loss.discriminator_weight)
+    np.testing.assert_allclose(float(logs["d_weight"]), want_dw, rtol=1e-4)
+    want_grad = jax.tree_util.tree_map(
+        lambda a, b: a + want_dw * loss.disc_factor * b, g_nll, g_g)
+    # compare the updated params against applying the naive combined grad
+    tx_chk = optim.build_optimizer(1e-4)
+    upd, _ = tx_chk.update(want_grad, tx_chk.init(state.params_g),
+                           state.params_g)
+    import optax as _optax
+
+    want_params = _optax.apply_updates(state.params_g, upd)
+    np.testing.assert_allclose(
+        np.asarray(last(s1.params_g)), np.asarray(last(want_params)),
+        atol=1e-6)
+
     # bf16 compute variant tracks the fp32 step (fp32 losses/d_weight)
     step16 = jax.jit(make_vqgan_train_step(mod, loss, tx_g, tx_d,
                                            compute_dtype=jnp.bfloat16))
