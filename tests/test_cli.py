@@ -258,7 +258,7 @@ def test_debug_mode_relocates_failed_run(workspace, tmp_path):
          "--max_steps", "1",
          # bad override -> instantiation failure after logdir creation
          "model.params.unet_config.params.model_channels=-1"],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1200,
         stdin=subprocess.DEVNULL)
     assert r.returncode != 0
     moved = list((logdir / "debug_runs").glob("*dbg*"))
