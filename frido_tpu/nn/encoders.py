@@ -84,35 +84,51 @@ class SpatialRescalerModule(nn.Module):
 # ---------------------------------------------------------------------------
 
 class BERTTokenizerHost:
-    """HuggingFace BertTokenizerFast wrapper (``modules.py:59-83``):
-    truncate + pad to max_length, returns int32 [B, L] numpy tokens.
+    """BERT tokenization host-side (``modules.py:59-83``): truncate + pad to
+    max_length, returns int32 [B, L] numpy tokens.
 
-    Needs the bert-base-uncased vocab locally (HF cache or
-    ``FRIDO_TPU_BERT_TOKENIZER`` path); the environment has no egress.
+    Resolution order (the environment has no egress):
+      1. ``FRIDO_TPU_BERT_VOCAB`` — path to a ``vocab.txt``; vendored
+         WordPiece, id-identical to HF given the same file.
+      2. ``FRIDO_TPU_BERT_TOKENIZER`` / HF cache — BertTokenizerFast.
+      3. the vendored deterministic char-fallback vocab (train-from-scratch
+         compatible; NOT bert-base-uncased ids — see frido_tpu.text).
     """
 
     def __init__(self, max_length: int = 77):
         import os
+        import warnings
 
-        from transformers import BertTokenizerFast
+        from frido_tpu.text import WordPieceTokenizer
 
+        self.max_length = max_length
+        self._hf = None
+        vocab = os.environ.get("FRIDO_TPU_BERT_VOCAB")
+        if vocab:
+            self.tokenizer = WordPieceTokenizer(vocab)
+            return
         src = os.environ.get("FRIDO_TPU_BERT_TOKENIZER", "bert-base-uncased")
         try:
-            self.tokenizer = BertTokenizerFast.from_pretrained(src)
-        except Exception as e:  # no cache, no egress
-            raise RuntimeError(
-                "bert-base-uncased tokenizer unavailable locally; set "
-                "FRIDO_TPU_BERT_TOKENIZER to a local tokenizer dir"
-            ) from e
-        self.max_length = max_length
+            from transformers import BertTokenizerFast
+
+            self._hf = BertTokenizerFast.from_pretrained(src)
+        except Exception:  # no cache, no egress -> vendored fallback
+            warnings.warn(
+                "bert-base-uncased vocab unavailable locally; using the "
+                "vendored char-fallback WordPiece vocab (fine for training "
+                "from scratch; set FRIDO_TPU_BERT_VOCAB to a vocab.txt for "
+                "checkpoint-compatible ids)")
+            self.tokenizer = WordPieceTokenizer()
 
     def __call__(self, texts):
         import numpy as np
 
-        enc = self.tokenizer(
-            texts, truncation=True, max_length=self.max_length,
-            padding="max_length", return_tensors="np")
-        return np.asarray(enc["input_ids"], dtype="int32")
+        if self._hf is not None:
+            enc = self._hf(
+                texts, truncation=True, max_length=self.max_length,
+                padding="max_length", return_tensors="np")
+            return np.asarray(enc["input_ids"], dtype="int32")
+        return self.tokenizer(texts, max_length=self.max_length)
 
 
 # ---------------------------------------------------------------------------
@@ -228,34 +244,51 @@ class SpatialRescaler:
 
 
 class CLIPTokenizerHost:
-    """HuggingFace CLIPTokenizer wrapper, host-side like BERTTokenizerHost.
+    """CLIP BPE tokenization host-side, like BERTTokenizerHost.
 
-    Needs the CLIP BPE vocab locally (HF cache or
-    ``FRIDO_TPU_CLIP_TOKENIZER`` path); the environment has no egress.
+    Resolution order (the environment has no egress):
+      1. ``FRIDO_TPU_CLIP_VOCAB`` — a directory with ``vocab.json`` +
+         ``merges.txt``; vendored BPE, id-identical to HF given the files.
+      2. ``FRIDO_TPU_CLIP_TOKENIZER`` / HF cache — CLIPTokenizer.
+      3. the vendored byte-level fallback vocab (train-from-scratch only).
     """
 
     def __init__(self, version: str, max_length: int = 77):
         import os
+        import warnings
 
-        from transformers import CLIPTokenizer
+        from frido_tpu.text import ClipBPETokenizer
 
+        self.max_length = max_length
+        self._hf = None
+        vdir = os.environ.get("FRIDO_TPU_CLIP_VOCAB")
+        if vdir:
+            self.tokenizer = ClipBPETokenizer(
+                os.path.join(vdir, "vocab.json"),
+                os.path.join(vdir, "merges.txt"))
+            return
         src = os.environ.get("FRIDO_TPU_CLIP_TOKENIZER", version)
         try:
-            self.tokenizer = CLIPTokenizer.from_pretrained(src)
-        except Exception as e:  # no cache, no egress
-            raise RuntimeError(
-                "CLIP tokenizer unavailable locally; set "
-                "FRIDO_TPU_CLIP_TOKENIZER to a local tokenizer dir"
-            ) from e
-        self.max_length = max_length
+            from transformers import CLIPTokenizer
+
+            self._hf = CLIPTokenizer.from_pretrained(src)
+        except Exception:  # no cache, no egress -> vendored fallback
+            warnings.warn(
+                "CLIP BPE vocab unavailable locally; using the vendored "
+                "byte-level fallback (fine for training from scratch; set "
+                "FRIDO_TPU_CLIP_VOCAB to a vocab.json/merges.txt dir for "
+                "checkpoint-compatible ids)")
+            self.tokenizer = ClipBPETokenizer()
 
     def __call__(self, texts):
         import numpy as np
 
-        enc = self.tokenizer(
-            texts, truncation=True, max_length=self.max_length,
-            padding="max_length", return_tensors="np")
-        return np.asarray(enc["input_ids"], dtype="int32")
+        if self._hf is not None:
+            enc = self._hf(
+                texts, truncation=True, max_length=self.max_length,
+                padding="max_length", return_tensors="np")
+            return np.asarray(enc["input_ids"], dtype="int32")
+        return self.tokenizer(texts, max_length=self.max_length)
 
 
 class FrozenCLIPEmbedder:
