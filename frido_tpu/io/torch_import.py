@@ -36,6 +36,9 @@ LEAF_TO_TORCH = {
     "bias": "bias",
     "embedding": "weight",
     "logit_scale": "logit_scale",
+    # ActNorm's torch param is literally named 'scale', which would collide
+    # with the norm-weight convention above; its flax leaf is 'scale_v'
+    "scale_v": "scale",
 }
 
 
@@ -44,8 +47,11 @@ def flax_path_to_torch_key(path: Tuple[str, ...]) -> str:
     parts = []
     for comp in path[:-1]:
         parts.extend(comp.split("__"))
-    leaf = path[-1]
-    parts.append(LEAF_TO_TORCH.get(leaf, leaf))
+    # the leaf itself may carry nesting too (a direct self.param like
+    # 'embeddings__class_embedding'); only its final segment is a leaf name
+    segs = path[-1].split("__")
+    parts.extend(segs[:-1])
+    parts.append(LEAF_TO_TORCH.get(segs[-1], segs[-1]))
     return ".".join(parts)
 
 
@@ -62,6 +68,8 @@ def convert_leaf(value: np.ndarray, leaf_name: str) -> np.ndarray:
     if leaf_name == "kernel_t":
         assert v.ndim == 4, "conv-transpose weight must be 4-d"
         return np.flip(v, axis=(2, 3)).transpose(2, 3, 0, 1)  # IOHW -> HWIO(flipped)
+    if leaf_name in ("loc", "scale_v"):
+        return v.reshape(-1)  # ActNorm [1, C, 1, 1] -> [C]
     return v
 
 
@@ -84,6 +92,7 @@ def import_state_dict(
     state_dict: Mapping[str, Any],
     prefix: str = "",
     strict: bool = True,
+    report: Dict[str, Any] = None,
 ) -> Dict[str, Any]:
     """Fill a flax params tree from a torch state_dict.
 
@@ -93,11 +102,15 @@ def import_state_dict(
       state_dict: torch name -> tensor/ndarray mapping.
       prefix: torch key prefix, e.g. ``'model.diffusion_model.'``.
       strict: raise on missing keys (shape mismatches always raise).
+      report: optional dict; filled with ``used`` (set of torch keys
+        consumed) and ``missing`` (list of torch keys expected by flax
+        leaves but absent) for key-coverage audits.
 
     Returns:
       A new tree of numpy arrays with the same structure as ``params``.
     """
     missing = []
+    used = set()
     out: Dict[str, Any] = {}
 
     def build(tree: Mapping[str, Any], path: Tuple[str, ...]) -> Any:
@@ -112,6 +125,7 @@ def import_state_dict(
                     missing.append(torch_key)
                     node[k] = np.asarray(v)
                     continue
+                used.add(torch_key)
                 leaf = convert_leaf(_to_numpy(state_dict[torch_key]), k)
                 expect = tuple(np.shape(v))
                 if tuple(leaf.shape) != expect:
@@ -123,6 +137,9 @@ def import_state_dict(
         return node
 
     out = build(params, ())
+    if report is not None:
+        report["used"] = used
+        report["missing"] = list(missing)
     if missing and strict:
         raise KeyError(f"{len(missing)} keys missing from state_dict: {missing[:10]}...")
     return out

@@ -38,15 +38,21 @@ def update_ema(shadow: Any, params: Any, num_updates: jnp.ndarray,
 
 
 def import_ema(params_tree: Dict[str, Any], state_dict, prefix: str = "model_ema.",
-               torch_prefix: str = "model.") -> Dict[str, Any]:
+               torch_prefix: str = "model.",
+               report: Dict[str, Any] = None) -> Dict[str, Any]:
     """Fill an EMA shadow tree (same structure as ``params_tree['model']``
     subtree) from the reference's flattened ``model_ema.*`` buffers.
 
     The flattened name of torch param ``model.diffusion_model.a.0.b.weight``
     is ``diffusion_model`` + name with dots removed; we regenerate each
     expected flat key from the destination tree path.
+
+    ``report`` (optional dict) is filled with ``used``/``missing`` torch
+    keys for coverage audits, like ``import_state_dict``.
     """
     from frido_tpu.io.torch_import import convert_leaf, flax_path_to_torch_key
+
+    used, missing = set(), []
 
     def build(tree, path):
         out = {}
@@ -60,10 +66,16 @@ def import_ema(params_tree: Dict[str, Any], state_dict, prefix: str = "model_ema
                 # i.e. without the leading 'model.') by deleting dots
                 flat = prefix + torch_key.replace(".", "")[len("model"):]
                 if flat in state_dict:
+                    used.add(flat)
                     leaf = convert_leaf(np.asarray(state_dict[flat]), k)
                     out[k] = leaf.astype(np.asarray(v).dtype)
                 else:
+                    missing.append(flat)
                     out[k] = np.asarray(v)
         return out
 
-    return build(params_tree, ())
+    tree = build(params_tree, ())
+    if report is not None:
+        report["used"] = used
+        report["missing"] = missing
+    return tree

@@ -8,17 +8,41 @@ tests — the framework itself never touches the reference.
 
 from __future__ import annotations
 
+import importlib.machinery
 import sys
 import types
 
 REFERENCE = "/root/reference"
+
+#: names install_reference() put into sys.modules (for scoped teardown)
+INSTALLED_STUBS: list = []
+
+
+def _stub_module(name: str) -> types.ModuleType:
+    """A stub with a real ModuleSpec so ``importlib.util.find_spec`` on it
+    (e.g. transformers' availability probes) doesn't raise
+    ``ValueError: __spec__ is None`` after the stub is installed."""
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    sys.modules[name] = mod
+    INSTALLED_STUBS.append(name)
+    return mod
+
+
+def uninstall_stubs():
+    """Remove every stub this module installed. Reference modules already
+    imported keep their bound references; a later install_reference() call
+    re-creates the stubs for new imports."""
+    for name in INSTALLED_STUBS:
+        sys.modules.pop(name, None)
+    INSTALLED_STUBS.clear()
 
 
 def install_reference(monkeypatch=None):
     import torch
 
     if "pytorch_lightning" not in sys.modules:
-        pl = types.ModuleType("pytorch_lightning")
+        pl = _stub_module("pytorch_lightning")
 
         class LightningModule(torch.nn.Module):
             @property
@@ -27,23 +51,23 @@ def install_reference(monkeypatch=None):
 
         pl.LightningModule = LightningModule
         pl.Callback = object
-        sys.modules["pytorch_lightning"] = pl
-        util = types.ModuleType("pytorch_lightning.utilities")
-        dist = types.ModuleType("pytorch_lightning.utilities.distributed")
+        util = _stub_module("pytorch_lightning.utilities")
+        dist = _stub_module("pytorch_lightning.utilities.distributed")
         dist.rank_zero_only = lambda fn: fn
         util.distributed = dist
-        sys.modules["pytorch_lightning.utilities"] = util
-        sys.modules["pytorch_lightning.utilities.distributed"] = dist
     if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tvm = types.ModuleType("torchvision.models")
+        tv = _stub_module("torchvision")
+        tvm = _stub_module("torchvision.models")
 
         def _missing(name):
-            raise RuntimeError(f"torchvision stub has no attr {name}")
+            # AttributeError, not RuntimeError: module __getattr__ must obey
+            # the attribute protocol or hasattr() probes by unrelated code
+            # (e.g. inspect.getmodule scanning sys.modules) blow up.
+            raise AttributeError(f"torchvision stub has no attr {name}")
 
         tvm.__getattr__ = _missing
         tv.models = tvm
-        tvu = types.ModuleType("torchvision.utils")
+        tvu = _stub_module("torchvision.utils")
 
         def make_grid(t, nrow=8, **kw):
             return t
@@ -51,14 +75,11 @@ def install_reference(monkeypatch=None):
         tvu.make_grid = make_grid
         tv.utils = tvu
         tv.__path__ = []  # mark as package so submodule imports resolve
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.models"] = tvm
-        sys.modules["torchvision.utils"] = tvu
     if "kornia" not in sys.modules:
-        sys.modules["kornia"] = types.ModuleType("kornia")
+        _stub_module("kornia")
     if "omegaconf" not in sys.modules:
-        oc = types.ModuleType("omegaconf")
-        lc = types.ModuleType("omegaconf.listconfig")
+        oc = _stub_module("omegaconf")
+        lc = _stub_module("omegaconf.listconfig")
 
         class ListConfig(list):
             pass
@@ -66,8 +87,6 @@ def install_reference(monkeypatch=None):
         lc.ListConfig = ListConfig
         oc.listconfig = lc
         oc.ListConfig = ListConfig
-        sys.modules["omegaconf"] = oc
-        sys.modules["omegaconf.listconfig"] = lc
     if REFERENCE not in sys.path:
         sys.path.insert(0, REFERENCE)
 
