@@ -2,11 +2,14 @@
 
 The reference computes FID with the external torch-fidelity CLI
 (``/root/reference/README.md:334-344``); here the pipeline is in-framework:
-a jitted InceptionV3 (pool3) feature extractor + the Frechet distance over
-feature statistics. Inception weights must be provided locally
-(``FRIDO_TPU_INCEPTION`` -> a torchvision inception_v3 state_dict or an .npz
-of features); the statistics/distance math works regardless and is also
-exposed for precomputed feature sets.
+the jitted FID-standard InceptionV3 from ``frido_tpu.eval.inception``
+(pytorch-fid's modified pool3 graph — NOT stock torchvision; see that
+module's docstring) + the Frechet distance over feature statistics.
+
+Weights must be provided locally (zero egress): ``FRIDO_TPU_INCEPTION`` ->
+a pytorch-fid ``pt_inception-2015-12-05`` state_dict (.pth) or an .npz of
+the same key->array mapping. The statistics/distance math works regardless
+and is also exposed for precomputed feature sets.
 """
 
 from __future__ import annotations
@@ -66,30 +69,48 @@ def load_images(folder: str, size: int = 299, limit: int = -1) -> np.ndarray:
     return np.stack(out)
 
 
-def inception_features(images: np.ndarray, batch: int = 32) -> np.ndarray:
-    """pool3 features via a torch inception_v3 loaded from a local
-    state_dict (FID-standard weights)."""
+_INCEPTION_PARAMS = None
+
+
+def _inception_params():
+    """Load + cache the FID-Inception params pytree from
+    ``FRIDO_TPU_INCEPTION`` (a .pth torch state_dict or equivalent .npz)."""
+    global _INCEPTION_PARAMS
+    if _INCEPTION_PARAMS is not None:
+        return _INCEPTION_PARAMS
     if not inception_available():
         raise RuntimeError(
-            "Set FRIDO_TPU_INCEPTION to a local torchvision inception_v3 "
-            "state_dict (.pth) to compute FID features (no egress here).")
-    import torch
+            "Set FRIDO_TPU_INCEPTION to a local pytorch-fid inception "
+            "state_dict (.pth or .npz) to compute FID features (no egress "
+            "here).")
+    from frido_tpu.eval import inception
 
     path = os.environ["FRIDO_TPU_INCEPTION"]
-    from torchvision.models import inception_v3  # noqa: F401  (requires tv)
+    if path.endswith(".npz"):
+        sd = dict(np.load(path))
+    else:
+        import torch
 
-    net = inception_v3(weights=None, aux_logits=True, init_weights=False)
-    net.load_state_dict(torch.load(path, map_location="cpu"), strict=False)
-    net.fc = torch.nn.Identity()
-    net.eval()
-    feats = []
-    with torch.no_grad():
-        for i in range(0, len(images), batch):
-            x = torch.from_numpy(
-                images[i:i + batch].transpose(0, 3, 1, 2))
-            x = (x - 0.5) / 0.5
-            feats.append(net(x).numpy())
-    return np.concatenate(feats)
+        sd = torch.load(path, map_location="cpu")
+        sd = sd.get("state_dict", sd)
+    _INCEPTION_PARAMS = inception.import_torch_state_dict(sd)
+    return _INCEPTION_PARAMS
+
+
+def inception_features(images: np.ndarray, batch: int = 32) -> np.ndarray:
+    """FID-standard pool3 features [N, 2048] of [N, H, W, 3] images in
+    [0, 1] (jitted; resize to 299 + scaling happen inside)."""
+    from frido_tpu.eval import inception
+
+    return inception.run_batched(_inception_params(), images, batch=batch)
+
+
+def inception_logits(images: np.ndarray, batch: int = 32) -> np.ndarray:
+    """Classifier logits [N, 1008] for Inception Score."""
+    from frido_tpu.eval import inception
+
+    return inception.run_batched(_inception_params(), images, batch=batch,
+                                 want_logits=True)
 
 
 def fid_between_folders(real_dir: str, fake_dir: str,
