@@ -81,3 +81,38 @@ def test_clip_vision_tower_shapes():
     assert out.shape == (2, 24)
     pre = clip_preprocess(jnp.zeros((2, 64, 48, 3)), image_size=28)
     assert pre.shape == (2, 28, 28, 3)
+
+
+def test_clip_vision_tower_value_parity():
+    """Weight-for-weight parity vs a randomly-initialized HF
+    CLIPVisionModelWithProjection (image_embeds path) — the load surface of
+    FrozenClipImageEmbedder (``modules.py:221-254``)."""
+    from transformers import CLIPVisionConfig, CLIPVisionModelWithProjection
+
+    from frido_tpu.nn.clip import CLIPVisionTower
+
+    cfg = CLIPVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, image_size=28, patch_size=14,
+        projection_dim=24)
+    torch.manual_seed(0)
+    tmodel = CLIPVisionModelWithProjection(cfg).eval()
+
+    tower = CLIPVisionTower(hidden=32, layers=2, heads=4, intermediate=64,
+                            patch=14, image_size=28, projection_dim=24)
+    x = np.random.RandomState(0).randn(2, 28, 28, 3).astype(np.float32)
+    params = tower.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    # HF nests the tower under vision_model.* but keeps visual_projection
+    # at the top level
+    sd = {}
+    for k, v in tmodel.state_dict().items():
+        key = k[len("vision_model."):] if k.startswith("vision_model.") else k
+        sd[key] = v.numpy()
+    params = {"params": import_state_dict(params["params"], sd)}
+
+    got = np.asarray(tower.apply(params, jnp.asarray(x)))
+    with torch.no_grad():
+        want = tmodel(pixel_values=torch.from_numpy(
+            x.transpose(0, 3, 1, 2))).image_embeds.numpy()
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
