@@ -7,101 +7,110 @@ COCO->OpenImages category unification for layout2i finetuning.
 
 from __future__ import annotations
 
+import csv
+import itertools
 import json
-from collections import defaultdict
-from csv import reader as TupleReader
-from itertools import chain
 from pathlib import Path
-from typing import Any, Callable, Dict, Iterable, List, Optional
+from typing import Any, Callable, Dict, Iterable, List, Mapping, Optional
 
 from frido_tpu.data.annotated_objects import AnnotatedObjectsDataset
 from frido_tpu.data.helper_types import Annotation, Category, ImageDescription
 
-COCO_PATH_STRUCTURE = {
-    "train": {
-        "top_level": "",
-        "instances_annotations": "annotations/instances_train2017.json",
-        "stuff_annotations": "annotations/stuff_train2017.json",
-        "files": "train2017",
-    },
-    "validation": {
-        "top_level": "",
-        "instances_annotations": "annotations/instances_val2017.json",
-        "stuff_annotations": "annotations/stuff_val2017.json",
-        "files": "val2017",
-    },
-}
 
-COCO_PATH_STRUCTURE_14 = {
-    "train": {
+def coco_layout(year: str, split: str) -> Dict[str, str]:
+    """Relative file layout of a COCO checkout for one split, keyed the way
+    ``AnnotatedObjectsDataset.build_paths`` expects. 2014 checkouts ship no
+    stuff annotations, so that entry only appears for 2017."""
+    tag = {"train": "train", "validation": "val"}[split] + year
+    layout = {
         "top_level": "",
-        "instances_annotations": "annotations/instances_train2014.json",
-        "files": "train2014",
-    },
-    "validation": {
-        "top_level": "",
-        "instances_annotations": "annotations/instances_val2014.json",
-        "files": "val2014",
-    },
-}
-
-
-def load_image_descriptions(description_json: List[Dict]) -> Dict[str, ImageDescription]:
-    return {
-        str(img["id"]): ImageDescription(
-            id=img["id"],
-            license=img.get("license"),
-            file_name=img["file_name"],
-            coco_url=img.get("coco_url"),
-            original_size=(img["width"], img["height"]),
-            date_captured=img.get("date_captured"),
-            flickr_url=img.get("flickr_url"),
-        )
-        for img in description_json
+        "files": tag,
+        "instances_annotations": f"annotations/instances_{tag}.json",
     }
+    if year == "2017":
+        layout["stuff_annotations"] = f"annotations/stuff_{tag}.json"
+    return layout
 
 
-def load_categories(category_json: Iterable) -> Dict[str, Category]:
-    return {str(c["id"]): Category(id=str(c["id"]),
-                                   super_category=c["supercategory"],
-                                   name=c["name"])
-            for c in category_json if c["name"] != "other"}
+def index_image_records(records: Iterable[Mapping]) -> Dict[str, ImageDescription]:
+    """COCO ``images`` records -> id-keyed ImageDescription map. Ids are
+    string keys throughout the data layer (JSON round-trips them as ints)."""
+    out: Dict[str, ImageDescription] = {}
+    for rec in records:
+        out[str(rec["id"])] = ImageDescription(
+            id=rec["id"],
+            file_name=rec["file_name"],
+            original_size=(rec["width"], rec["height"]),
+            license=rec.get("license"),
+            coco_url=rec.get("coco_url"),
+            date_captured=rec.get("date_captured"),
+            flickr_url=rec.get("flickr_url"))
+    return out
 
 
-def load_annotations(annotations_json: List[Dict], image_descriptions,
-                     category_no_for_id: Callable[[str], int], split: str,
-                     coco_to_oi_cate_id: Optional[Dict] = None):
-    annotations = defaultdict(list)
-    for ann in chain(*annotations_json):
-        image_id = str(ann["image_id"])
-        if image_id not in image_descriptions:
-            raise ValueError(f"image_id [{image_id}] has no description.")
-        category_id = ann["category_id"]
-        if coco_to_oi_cate_id is not None:
-            category_id = coco_to_oi_cate_id.get(str(category_id), category_id)
+def index_category_records(records: Iterable[Mapping]) -> Dict[str, Category]:
+    """COCO ``categories`` records -> id-keyed Category map, dropping the
+    stuff JSON's catch-all pseudo-class ``other``."""
+    out: Dict[str, Category] = {}
+    for rec in records:
+        if rec["name"] == "other":
+            continue
+        cid = str(rec["id"])
+        out[cid] = Category(id=cid, name=rec["name"],
+                            super_category=rec["supercategory"])
+    return out
+
+
+def collect_annotations(
+        streams: Iterable[Iterable[Mapping]],
+        images: Mapping[str, ImageDescription],
+        category_no_for_id: Callable[[str], int],
+        category_remap: Optional[Mapping[str, str]] = None,
+) -> Dict[str, List[Annotation]]:
+    """Merge annotation streams (instances, stuff) into a per-image map.
+
+    Bboxes are normalized by the original image size; ``area`` is the
+    normalized bbox area (not the segmentation area — the filters downstream
+    are calibrated to that). Records whose category was filtered out are
+    skipped; an annotation pointing at an unknown image is a corrupt
+    checkout and raises. ``category_remap`` applies the COCO->OpenImages
+    unification before the category-number lookup.
+    """
+    per_image: Dict[str, List[Annotation]] = {}
+    for rec in itertools.chain.from_iterable(streams):
+        img_key = str(rec["image_id"])
+        desc = images.get(img_key)
+        if desc is None:
+            raise ValueError(
+                f"annotation {rec['id']} references image {img_key} which is "
+                f"not in the images index")
+        cat = str(rec["category_id"])
+        if category_remap is not None:
+            cat = str(category_remap.get(cat, cat))
         try:
-            category_no = category_no_for_id(str(category_id))
+            cat_no = category_no_for_id(cat)
         except KeyError:
             continue
-        width, height = image_descriptions[image_id].original_size
-        bbox = (ann["bbox"][0] / width, ann["bbox"][1] / height,
-                ann["bbox"][2] / width, ann["bbox"][3] / height)
-        annotations[image_id].append(Annotation(
-            id=ann["id"],
-            area=bbox[2] * bbox[3],  # bbox area, not segmentation area
-            is_group_of=ann["iscrowd"],
-            image_id=ann["image_id"],
-            bbox=bbox,
-            category_id=str(category_id),
-            category_no=category_no,
-        ))
-    return dict(annotations)
+        w, h = desc.original_size
+        x0, y0, bw, bh = rec["bbox"]
+        box = (x0 / w, y0 / h, bw / w, bh / h)
+        per_image.setdefault(img_key, []).append(Annotation(
+            id=rec["id"],
+            image_id=rec["image_id"],
+            category_id=cat,
+            category_no=cat_no,
+            bbox=box,
+            area=box[2] * box[3],
+            is_group_of=rec["iscrowd"]))
+    return per_image
 
 
-def load_categories_oi(csv_path: Path) -> Dict[str, Category]:
-    with open(csv_path) as f:
-        return {row[0]: Category(id=row[0], name=row[1], super_category=None)
-                for row in TupleReader(f)}
+def read_oi_category_csv(path: Path) -> Dict[str, Category]:
+    """OpenImages class-description CSV (mid, display name) -> Category map
+    for the COCO->OI unification path."""
+    with open(path, newline="") as f:
+        return {mid: Category(id=mid, name=name, super_category=None)
+                for mid, name in csv.reader(f)}
 
 
 class AnnotatedObjectsCoco(AnnotatedObjectsDataset):
@@ -147,11 +156,12 @@ class AnnotatedObjectsCoco(AnnotatedObjectsDataset):
             image_ids_with_stuff = {
                 str(a["image_id"]) for a in stuff_data_json["annotations"]}
 
-        self.categories = load_categories(chain(*category_jsons))
+        self.categories = index_category_records(
+            itertools.chain.from_iterable(category_jsons))
         coco_to_oi = None
         if OI_cate_path:
             # COCO->OpenImages category unification (coco.py:187-203)
-            self.categories_OI = load_categories_oi(OI_cate_path)
+            self.categories_OI = read_oi_category_csv(OI_cate_path)
             oi_raw = (["-".join(v.name.lower().split(" "))
                        for v in self.categories_OI.values()]
                       + [v.name.lower() for v in self.categories_OI.values()])
@@ -167,11 +177,11 @@ class AnnotatedObjectsCoco(AnnotatedObjectsDataset):
 
         self.filter_categories()
         self.setup_category_id_and_number()
-        self.image_descriptions = load_image_descriptions(
+        self.image_descriptions = index_image_records(
             inst_data_json["images"])
-        annotations = load_annotations(
+        annotations = collect_annotations(
             annotation_jsons, self.image_descriptions,
-            self.get_category_number, self.split, coco_to_oi)
+            self.get_category_number, coco_to_oi)
         self.annotations = self.filter_object_number(
             annotations, self.min_object_area, self.min_objects_per_image,
             self.max_objects_per_image)
@@ -199,13 +209,14 @@ class AnnotatedObjectsCoco(AnnotatedObjectsDataset):
         self.img_id_to_caption_list = m
 
     def get_path_structure(self) -> Dict[str, str]:
-        if self.split not in COCO_PATH_STRUCTURE:
-            raise ValueError(f"Split [{self.split}] does not exist for COCO.")
-        if "2017" in str(self.data_path):
-            return COCO_PATH_STRUCTURE[self.split]
-        if "2014" in str(self.data_path):
-            return COCO_PATH_STRUCTURE_14[self.split]
-        raise ValueError("Incorrect data structure.")
+        if self.split not in ("train", "validation"):
+            raise ValueError(f"no COCO split named {self.split!r}")
+        for year in ("2017", "2014"):
+            if year in str(self.data_path):
+                return coco_layout(year, self.split)
+        raise ValueError(
+            f"cannot tell the COCO year from data_path {self.data_path!r} "
+            f"(expected '2014' or '2017' in the path)")
 
     def get_image_path(self, image_id: str) -> Path:
         return self.paths["files"].joinpath(

@@ -13,7 +13,7 @@ from pathlib import Path
 from typing import Any, Dict, List
 
 from frido_tpu.data.annotated_objects import AnnotatedObjectsDataset
-from frido_tpu.data.coco import load_image_descriptions
+from frido_tpu.data.coco import index_image_records
 
 VG_PATH_STRUCTURE = {
     "train": {"top_level": "", "image_data": "image_data.json",
@@ -31,7 +31,7 @@ class AnnotatedObjectsVg(AnnotatedObjectsDataset):
         with open(caption_ann_path) as f:
             caption_data_json = json.load(f)
         self._setup_caption(caption_data_json)
-        self.image_descriptions = load_image_descriptions(
+        self.image_descriptions = index_image_records(
             caption_data_json["images"])
         self.image_ids = sorted(
             str(img["id"]) for img in caption_data_json["images"])
