@@ -65,12 +65,23 @@ class DataLoader:
         self.indices = (list(indices) if indices is not None
                         else list(range(len(dataset))))
         self.epoch = 0
+        self._skip_batches = 0
 
     def __len__(self):
         n = len(self.indices)
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
+
+    def set_cursor(self, epoch: int, batch_in_epoch: int = 0) -> None:
+        """Deterministic mid-epoch resume: the next ``__iter__`` replays
+        epoch ``epoch``'s shuffle order and skips the first
+        ``batch_in_epoch`` batches (they were consumed before the
+        checkpoint). The cursor is persisted in the train checkpoint's
+        ``last.json`` — the reference gets this from Lightning's loader
+        state (``main.py:630``)."""
+        self.epoch = epoch
+        self._skip_batches = batch_in_epoch
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         order = list(self.indices)
@@ -81,6 +92,9 @@ class DataLoader:
                    for i in range(0, len(order), self.batch_size)]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()
+        if self._skip_batches:
+            batches = batches[self._skip_batches:]
+            self._skip_batches = 0
 
         if self.num_workers <= 1:
             for b in batches:
@@ -148,9 +162,14 @@ class DataModuleFromConfig:
         return self.datasets[split]
 
     def train_dataloader(self) -> DataLoader:
-        return DataLoader(self._dataset("train"), self.batch_size,
-                          shuffle=True, num_workers=self.num_workers,
-                          drop_last=True)
+        # one persistent loader: its epoch counter drives the per-epoch
+        # shuffle, so re-iterating must NOT rebuild it (a fresh loader
+        # would replay epoch 0's order forever)
+        if not hasattr(self, "_train_loader"):
+            self._train_loader = DataLoader(
+                self._dataset("train"), self.batch_size, shuffle=True,
+                num_workers=self.num_workers, drop_last=True)
+        return self._train_loader
 
     def val_dataloader(self) -> DataLoader:
         return DataLoader(self._dataset("validation"), self.batch_size,

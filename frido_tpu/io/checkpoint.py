@@ -38,24 +38,27 @@ def restore_raw(path: str) -> Any:
 
 
 def save_train_state(ckpt_dir: str, step: int, state: Any,
-                     keep: int = 3, tag: str = "") -> str:
+                     keep: int = 3, tag: str = "",
+                     meta: Optional[dict] = None) -> str:
     """Save under ckpt_dir/step_N and update the ``last`` pointer.
 
     tag: save under ckpt_dir/<tag> instead (e.g. 'best' for the
-    monitor-selected checkpoint; not pruned, doesn't move ``last``)."""
+    monitor-selected checkpoint; not pruned, doesn't move ``last``).
+    meta: extra JSON fields for the pointer file (e.g. the train loader's
+    epoch/batch cursor for deterministic mid-epoch resume)."""
     os.makedirs(ckpt_dir, exist_ok=True)
     if tag:
         path = os.path.join(ckpt_dir, tag)
         _ckptr().save(os.path.abspath(path), jax.device_get(state),
                       force=True)
         with open(os.path.join(ckpt_dir, f"{tag}.json"), "w") as f:
-            json.dump({"step": step, "path": path}, f)
+            json.dump({"step": step, "path": path, **(meta or {})}, f)
         return path
     path = os.path.join(ckpt_dir, f"step_{step}")
     state_host = jax.device_get(state)
     _ckptr().save(os.path.abspath(path), state_host, force=True)
     with open(os.path.join(ckpt_dir, "last.json"), "w") as f:
-        json.dump({"step": step, "path": path}, f)
+        json.dump({"step": step, "path": path, **(meta or {})}, f)
     # prune old checkpoints
     steps = sorted(
         int(m.group(1)) for d in os.listdir(ckpt_dir)
@@ -66,6 +69,13 @@ def save_train_state(ckpt_dir: str, step: int, state: Any,
         shutil.rmtree(os.path.join(ckpt_dir, f"step_{s}"),
                       ignore_errors=True)
     return path
+
+
+def read_last_meta(ckpt_dir: str) -> dict:
+    """The ``last`` pointer's JSON (step, path, and any extra meta such as
+    the loader epoch/cursor saved alongside)."""
+    with open(os.path.join(ckpt_dir, "last.json")) as f:
+        return json.load(f)
 
 
 def restore_train_state(ckpt_dir: str, like: Any,

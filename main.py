@@ -43,8 +43,10 @@ def get_parser():
     p.add_argument("--ckpt_every_steps", type=int, default=0)
     p.add_argument("--log_every_steps", type=int, default=50)
     p.add_argument("--val_every_steps", type=int, default=2000)
-    p.add_argument("--val_batches", type=int, default=8,
-                   help="val batches per validation pass")
+    p.add_argument("--val_batches", type=int, default=-1,
+                   help="val batches per validation pass (-1 = the full "
+                        "val split, like the reference's Lightning "
+                        "validation loop)")
     p.add_argument("-tb", "--tensorboard", type=str2bool, default=False,
                    help="also log scalars to TensorBoard (logdir/tb)")
     p.add_argument("-d", "--debug", type=str2bool, default=False,
@@ -243,9 +245,17 @@ def _main(args, unknown):
 
     sf_path = os.path.join(ckptdir, "scale_factors.json")
     start_step = 0
+    # loader cursor (0-based shuffle epoch + batches consumed within it);
+    # persisted in last.json so resume replays the uninterrupted run's
+    # batch sequence (Lightning preserves loader state, main.py:630)
+    cursor = {"epoch": 0, "batch": 0}
     if os.path.exists(os.path.join(ckptdir, "last.json")):
         state, start_step = ckpt_io.restore_train_state(ckptdir, state)
-        print(f"Restored training state at step {start_step}")
+        meta = ckpt_io.read_last_meta(ckptdir)
+        cursor["epoch"] = int(meta.get("epoch", 0))
+        cursor["batch"] = int(meta.get("batch_in_epoch", 0))
+        print(f"Restored training state at step {start_step} "
+              f"(epoch {cursor['epoch']}, batch {cursor['batch']})")
         if os.path.exists(sf_path):
             model.scale_factors = np.asarray(
                 json.load(open(sf_path)), np.float32)
@@ -297,12 +307,17 @@ def _main(args, unknown):
 
     def save(step):
         try:
-            ckpt_io.save_train_state(ckptdir, step, state)
+            ckpt_io.save_train_state(
+                ckptdir, step, state,
+                meta={"epoch": cursor["epoch"],
+                      "batch_in_epoch": cursor["batch"]})
         except RuntimeError as e:
             # an interrupt can land while the donated state is mid-step
             # (input buffers already consumed, result not yet bound); the
-            # previous `last` checkpoint is still intact on disk
-            if "deleted" not in str(e).lower():
+            # previous `last` checkpoint is still intact on disk. Match the
+            # specific jax donated-buffer message so unrelated RuntimeErrors
+            # that merely mention deletion (e.g. file errors) still raise.
+            if "array has been deleted" not in str(e).lower():
                 raise
             print(f"skipping rescue save (state mid-step): {e}")
             return
@@ -319,7 +334,7 @@ def _main(args, unknown):
         losses, losses_ema = [], []
         vrng = jax.random.PRNGKey(1234)
         for i, vbatch in enumerate(data.val_dataloader()):
-            if i >= args.val_batches:
+            if 0 < args.val_batches <= i:
                 break
             arrays = pmesh.shard_batch(mesh, batch_to_arrays(model, vbatch))
             vrng, k = jax.random.split(vrng)
@@ -358,17 +373,19 @@ def _main(args, unknown):
         return
 
     step = start_step
-    epoch = 0
+    train_loader = data.train_dataloader()
+    if cursor["epoch"] or cursor["batch"]:
+        train_loader.set_cursor(cursor["epoch"], cursor["batch"])
     t_last = time.time()
     try:
         while True:
-            epoch += 1
-            if args.max_epochs > 0 and epoch > args.max_epochs:
+            if args.max_epochs > 0 and cursor["epoch"] >= args.max_epochs:
                 break
-            for batch in data.train_dataloader():
+            for batch in train_loader:
                 arrays = pmesh.shard_batch(mesh, batch_to_arrays(model, batch))
                 state, logs = step_fn(state, arrays, rng)
                 step += 1
+                cursor["batch"] += 1
                 if step % args.log_every_steps == 0:
                     logs = jax.device_get(logs)
                     dt = time.time() - t_last
@@ -397,6 +414,8 @@ def _main(args, unknown):
                     stop_requested["save"] = False
                 if args.max_steps > 0 and step >= args.max_steps:
                     raise StopIteration
+            cursor["epoch"] += 1
+            cursor["batch"] = 0
             save(step)
     except (StopIteration, KeyboardInterrupt):
         save(step)
