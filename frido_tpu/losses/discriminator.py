@@ -46,13 +46,42 @@ class TorchBatchNorm(nn.Module):
         return y * scale + bias
 
 
+class ActNorm(nn.Module):
+    """Per-channel affine with data-dependent init
+    (``/root/reference/taming/modules/util.py:10-93``, the discriminator's
+    ``use_actnorm`` variant; the logdet path is flow-only and unused here).
+
+    Torch initializes loc/scale from the first training batch and then
+    freezes them behind an ``initialized`` flag; the JAX equivalent is to
+    compute them from the batch ``module.init`` sees — params are
+    immutable afterwards, which IS the post-first-batch torch behavior.
+    Torch ckpt leaves ``loc``/``scale`` [1, C, 1, 1] import as flat [C]
+    (see ``convert_leaf``).
+    """
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        loc = self.param("loc", lambda rng: -jnp.mean(x, axis=(0, 1, 2)))
+        # torch .std() is unbiased (ddof=1)
+        scale = self.param(
+            "scale_v",
+            lambda rng: 1.0 / (jnp.std(x, axis=(0, 1, 2), ddof=1) + 1e-6))
+        return scale * (x + loc)
+
+
 class NLayerDiscriminator(nn.Module):
     input_nc: int = 3
     ndf: int = 64
     n_layers: int = 3
+    use_actnorm: bool = False
 
     def setup(self):
         kw, padw = 4, 1
+        # pix2pix: convs keep their bias with ActNorm, drop it with BN
+        # (model.py:28-33)
+        norm = (lambda name: ActNorm(name=name)) if self.use_actnorm \
+            else (lambda name: TorchBatchNorm(name=name))
+        bias = self.use_actnorm
         layers = []  # (conv, norm_or_None, torch_index)
         idx = 0
         layers.append((Conv2d(self.ndf, kw, stride=2, padding=padw,
@@ -63,14 +92,14 @@ class NLayerDiscriminator(nn.Module):
             nf_mult = min(2 ** n, 8)
             layers.append((
                 Conv2d(self.ndf * nf_mult, kw, stride=2, padding=padw,
-                       use_bias=False, name=f"main__{idx}"),
-                TorchBatchNorm(name=f"main__{idx + 1}")))
+                       use_bias=bias, name=f"main__{idx}"),
+                norm(f"main__{idx + 1}")))
             idx += 3
         nf_mult = min(2 ** self.n_layers, 8)
         layers.append((
             Conv2d(self.ndf * nf_mult, kw, stride=1, padding=padw,
-                   use_bias=False, name=f"main__{idx}"),
-            TorchBatchNorm(name=f"main__{idx + 1}")))
+                   use_bias=bias, name=f"main__{idx}"),
+            norm(f"main__{idx + 1}")))
         idx += 3
         layers.append((Conv2d(1, kw, stride=1, padding=padw,
                               name=f"main__{idx}"), None))

@@ -49,11 +49,13 @@ class VQLPIPSWithDiscriminatorModule(nn.Module):
     disc_num_layers: int = 3
     disc_ndf: int = 64
     use_lpips: bool = True
+    use_actnorm: bool = False
 
     def setup(self):
         self.discriminator = NLayerDiscriminator(
             input_nc=self.disc_in_channels, ndf=self.disc_ndf,
-            n_layers=self.disc_num_layers, name="discriminator")
+            n_layers=self.disc_num_layers, use_actnorm=self.use_actnorm,
+            name="discriminator")
         if self.use_lpips:
             self.perceptual_loss = LPIPS(name="perceptual_loss")
 
@@ -76,7 +78,6 @@ class VQLPIPSWithDiscriminator:
                  disc_conditional=False, disc_ndf=64, disc_loss="hinge",
                  aux_downscale=4.0, aux_loss_weight=(1.0, 0.0)):
         assert disc_loss in ("hinge", "vanilla")
-        assert not use_actnorm, "ActNorm discriminator not yet supported"
         self.disc_start = disc_start
         self.codebook_weight = codebook_weight
         self.pixel_weight = pixelloss_weight
@@ -94,7 +95,7 @@ class VQLPIPSWithDiscriminator:
         self.module = VQLPIPSWithDiscriminatorModule(
             disc_in_channels=disc_in_channels,
             disc_num_layers=disc_num_layers, disc_ndf=disc_ndf,
-            use_lpips=self.use_lpips)
+            use_lpips=self.use_lpips, use_actnorm=use_actnorm)
 
     def init_params(self, rng, image_shape=(1, 64, 64, 3)):
         x = jnp.zeros(image_shape)
