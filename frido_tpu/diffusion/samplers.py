@@ -188,8 +188,12 @@ def _sample_stage_vanilla(cfg, dd, eps, x, stage, rng):
         mean = coef1[t] * x0 + coef2[t] * x_w
         x_prev = mean + jnp.where(t > 0, 1.0, 0.0) * jnp.exp(
             0.5 * log_var[t]) * n
+        # intermediates are the x0 composites — what the reference's
+        # progressive_denoising gallery collects (frido.py:1577-1582)
+        emit = x.at[..., start:end].set(x0) if cfg.keep_intermediates \
+            else None
         x = x.at[..., start:end].set(x_prev)
-        return x, (x if cfg.keep_intermediates else None)
+        return x, emit
 
     x, inter = jax.lax.scan(step, x, (ts, noise))
     return (x, inter) if cfg.keep_intermediates else x
@@ -223,9 +227,14 @@ def _sample_stage_dpmpp(cfg, dd, eps, x, stage, rng):
         x_w = x[..., start:end]
         x0 = (x_w - sig_t[i] * e_w) / jnp.sqrt(a_t[i])
         h = lam_prev[i] - lam_t[i]
-        # 2M correction; first step (h_prev == 0) falls back to 1st order
+        # 2M correction; first step (h_prev == 0) falls back to 1st order,
+        # and so does the final step for short chains (lower_order_final in
+        # diffusers/k-diffusion: the last multistep extrapolation is unstable
+        # at few steps, so drop to DDIM-order there when S < 15).
         r_safe = jnp.where(h_prev > 0, h_prev, 1.0) / h
         c = jnp.where(h_prev > 0, 1.0 / (2.0 * r_safe), 0.0)
+        if S < 15:
+            c = jnp.where(i == S - 1, 0.0, c)
         D = (1.0 + c) * x0 - c * x0_prev
         x_new = (sig_prev[i] / sig_t[i]) * x_w \
             - jnp.sqrt(a_prev[i]) * jnp.expm1(-h) * D

@@ -95,8 +95,10 @@ class FridoModule(nn.Module):
     def setup(self):
         self.model = DiffusionWrapper(self.unet_config, self.conditioning_key,
                                       name="model")
-        self.first_stage_model = msvqgan_from_config(
-            self.first_stage_params, name="first_stage_model")
+        # None = pixel-space DDPM: encode/decode are identity
+        self.first_stage_model = None if self.first_stage_params is None \
+            else msvqgan_from_config(self.first_stage_params,
+                                     name="first_stage_model")
         if self.cond_module_builder is not None:
             self.cond_stage_model = self.cond_module_builder("cond_stage_model")
         else:
@@ -113,9 +115,13 @@ class FridoModule(nn.Module):
                           deterministic=deterministic)
 
     def encode_first_stage(self, x):
+        if self.first_stage_model is None:
+            return x
         return self.first_stage_model.encode_interface(x)
 
     def decode_first_stage(self, z):
+        if self.first_stage_model is None:
+            return z
         return self.first_stage_model.decode_interface(z)
 
     def decode_first_stage_codes(self, z):
@@ -192,9 +198,11 @@ class FridoDiffusion:
     ``disable_log_image``, ...) are accepted and recorded in ``self.extra``.
     """
 
-    def __init__(self, first_stage_config: Dict[str, Any],
-                 cond_stage_config: Any, unet_config: Dict[str, Any],
+    def __init__(self, first_stage_config: Optional[Dict[str, Any]] = None,
+                 cond_stage_config: Any = "__is_unconditional__",
+                 unet_config: Dict[str, Any] = None,
                  **kwargs: Any):
+        assert unet_config is not None, "unet_config is required"
         self.first_stage_config = first_stage_config
         self.cond_stage_config = cond_stage_config
         self.unet_config = unet_config
@@ -217,10 +225,21 @@ class FridoDiffusion:
             v_posterior=self.v_posterior,
             parameterization=self.parameterization)
 
-        fs_params = dict(self.first_stage_config["params"])
-        self.first_stage_ckpt = fs_params.get("ckpt_path")
-        self.embed_dim_list: List[int] = list(fs_params["embed_dim"])
+        if self.first_stage_config is None:
+            # pixel-space DDPM (frido.py:45-476): no first stage at all —
+            # encode/decode are identity and the "pyramid" is one stage wide
+            fs_params = None
+            self.first_stage_ckpt = None
+            self.embed_dim_list: List[int] = [self.channels]
+        else:
+            fs_params = dict(self.first_stage_config["params"])
+            self.first_stage_ckpt = fs_params.get("ckpt_path")
+            self.embed_dim_list = list(fs_params["embed_dim"])
         self.num_stage: int = len(self.embed_dim_list)
+        if len(self.stage_loss_ratio) != self.num_stage \
+                and self.num_stage == 1:
+            # the two-stage default ratio doesn't apply to single-stage DDPM
+            self.stage_loss_ratio = (1.0,)
 
         self.use_split_head = bool(
             self.unet_config["params"].get("use_split_head", False))
@@ -271,9 +290,21 @@ class FridoDiffusion:
         tokens = None
         if self.cond_wrapper is not None:
             tokens = jnp.zeros((1, context_len), jnp.int32)
-        return self.module.init(rng, img, z, t, tokens, method="init_all")
+        params = self.module.init(rng, img, z, t, tokens, method="init_all")
+        if self.learn_logvar:
+            # trainable per-timestep logvar (frido.py:121-124,473-474):
+            # lives in the params tree so the optimizer sees it; flax
+            # ignores the extra entry during module.apply
+            params = dict(params)
+            params["params"] = dict(
+                params["params"],
+                logvar=jnp.full((self.timesteps,), self.logvar_init,
+                                jnp.float32))
+        return params
 
     def _num_downs(self) -> int:
+        if self.first_stage_config is None:
+            return 0  # pixel space: image IS the latent
         ed = self.first_stage_config["params"]["edconfig"]
         return len(ed["ch_mult"]) - 1
 
@@ -349,26 +380,29 @@ class FridoDiffusion:
         of sampling time. No reference analogue — the torch decoder just
         OOMs (the reference caps its eval batch instead)."""
         z = self._scale_latent(z, invert=True)
-        if chunk and z.shape[0] > chunk and z.shape[0] % chunk == 0:
-            zc = z.reshape((z.shape[0] // chunk, chunk) + z.shape[1:])
-            imgs = jax.lax.map(
-                lambda tile: self.module.apply(
-                    params, tile, method="decode_first_stage"), zc)
-            return imgs.reshape((-1,) + imgs.shape[2:])
         sip = self.extra.get("split_input_params")
         if sip and z.shape[1] > sip["ks"][0]:
             # patched decode (frido.py:840-877): per latent tile, each
-            # decoding to ks*vqf pixels, blended by overlap count
+            # decoding to ks*vqf pixels, blended by overlap count. Checked
+            # before the chunk fast-path so a tiled-decode model still tiles
+            # when chunking is requested (chunk wraps the tiled decode).
             from frido_tpu.ops.tiling import tiled_apply
 
             dd = self.first_stage_config["params"]["ddconfig"]
             vqf = int(sip.get("vqf", 2 ** (len(dd["ch_mult"]) - 1)))
-            return tiled_apply(
-                lambda tile: self.module.apply(
-                    params, tile, method="decode_first_stage"),
-                z, ks=tuple(sip["ks"]), stride=tuple(sip["stride"]),
+            decode_one = lambda tile: tiled_apply(
+                lambda t_: self.module.apply(
+                    params, t_, method="decode_first_stage"),
+                tile, ks=tuple(sip["ks"]), stride=tuple(sip["stride"]),
                 out_ch=dd["out_ch"], scale=vqf)
-        return self.module.apply(params, z, method="decode_first_stage")
+        else:
+            decode_one = lambda tile: self.module.apply(
+                params, tile, method="decode_first_stage")
+        if chunk and z.shape[0] > chunk and z.shape[0] % chunk == 0:
+            zc = z.reshape((z.shape[0] // chunk, chunk) + z.shape[1:])
+            imgs = jax.lax.map(decode_one, zc)
+            return imgs.reshape((-1,) + imgs.shape[2:])
+        return decode_one(z)
 
     def decode_first_stage_with_codes(self, params, z: jnp.ndarray):
         """(images, [per-scale int32 code grids]) for codebook analysis."""
@@ -459,7 +493,10 @@ class FridoDiffusion:
         else:
             per = (model_out - target_w) ** 2
         loss_simple = per.mean(axis=(1, 2, 3))
-        logvar_t = jnp.asarray(self.logvar)[t]
+        if self.learn_logvar and "logvar" in params.get("params", {}):
+            logvar_t = params["params"]["logvar"][t]
+        else:
+            logvar_t = jnp.asarray(self.logvar)[t]
         loss = loss_simple / jnp.exp(logvar_t) + logvar_t
         loss = self.l_simple_weight * loss.mean()
         lvlb = (jnp.asarray(self.schedule.lvlb_weights)[t] * loss_simple).mean()
@@ -589,7 +626,40 @@ class FridoDiffusion:
                 log["diffusion_row"] = rows["diffusion_row"]
             if self.extra.get("plot_denoise_rows", False):
                 log["denoise_row"] = rows["denoise_row"]
+        if sample_flag and self.extra.get("plot_progressive_rows", False):
+            log["progressive_row"] = self.log_progressive_rows(
+                params, ctx, rng, n_row=min(2, x.shape[0]))
         return log
+
+    def log_progressive_rows(self, params, ctx, rng, n_row: int = 2):
+        """Progressive-generation gallery (``frido.py:1576-1582``): the
+        full-T ancestral chain's x0 composites, decoded at a stride."""
+        import jax
+
+        from frido_tpu.diffusion import samplers
+        from frido_tpu.utils import visualize as vz
+
+        cfg = samplers.SamplerConfig(
+            schedule=self.schedule, num_steps=self.timesteps, eta=1.0,
+            guidance_scale=1.0, embed_dim_list=tuple(self.embed_dim_list),
+            use_split_head=self.use_split_head, num_stage=self.num_stage,
+            kind="vanilla", keep_intermediates=True)
+        if ctx is not None:
+            ctx = ctx[:n_row]
+        eps_model = lambda xx, tt, cc, ss: self.apply_model(
+            params, xx, tt, cc, ss)
+        final, inters = samplers.sample(
+            cfg, eps_model, rng,
+            (n_row, self.image_size, self.image_size, self.channels), ctx)
+        stride = max(self.timesteps // 5, 1)
+        decoded = []
+        for stage_inter in inters:
+            for i in range(0, stage_inter.shape[0], stride):
+                decoded.append(np.asarray(
+                    self.decode_first_stage(params, stage_inter[i])))
+        decoded.append(np.asarray(self.decode_first_stage(params, final)))
+        row = np.stack(decoded, axis=1)
+        return np.stack([vz.make_grid(r, nrow=row.shape[1]) for r in row])
 
     def log_rows(self, params, batch, rng=None, n_row: int = 2,
                  ddim_steps: int = 50, log_every_t: int = 10):

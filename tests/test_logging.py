@@ -92,3 +92,19 @@ def test_log_images_plot_flags(tiny_model):
     finally:
         model.extra.pop("plot_sample", None)
         model.extra.pop("plot_quantize_denoised", None)
+
+
+def test_log_images_progressive_rows(tiny_model):
+    """plot_progressive_rows: full-T vanilla chain x0 composites as a
+    gallery (``frido.py:1576-1582``)."""
+    model, params = tiny_model
+    model.cond_stage_key = "tokens"
+    model.extra["plot_progressive_rows"] = True
+    try:
+        log = model.log_images(params, make_batch(), n=2, ddim_steps=2,
+                               ddim_eta=0.0)
+        assert "progressive_row" in log
+        assert log["progressive_row"].shape[0] == 2
+        assert np.isfinite(log["progressive_row"]).all()
+    finally:
+        model.extra.pop("plot_progressive_rows", None)

@@ -267,3 +267,70 @@ def test_vqgan_gan_step():
                                float(logs["nll_loss"]), rtol=0.05)
     w = jax.tree_util.tree_leaves(s16.params_g)[0]
     assert w.dtype == jnp.float32
+
+
+def test_pixel_space_ddpm_standalone():
+    """A first-stage-free DDPM config must build, train, and sample in
+    pixel space (reference ``frido.py:45-476``; VERDICT round-1 item #9)."""
+    from frido_tpu.models.frido import DDPM
+
+    m = DDPM(unet_config={
+        "target": "frido_tpu.nn.pyunet.PyUNetModel",
+        "params": {"image_size": 16, "in_channels": 3, "out_channels": 3,
+                   "model_channels": 32, "num_res_blocks": 1,
+                   "attention_resolutions": [4], "num_head_channels": 8,
+                   "channel_mult": [1, 2]}},
+        channels=3, image_size=16, timesteps=100)
+    assert m.num_stage == 1 and m.first_stage_config is None
+    params = m.init_params(jax.random.PRNGKey(0))
+
+    # encode/decode are identity in pixel space
+    x = jnp.ones((1, 16, 16, 3)) * 0.25
+    z = m.encode_first_stage(params, x)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(x))
+
+    tx = optim.build_optimizer(1e-3)
+    state, masked = trainer.create_train_state(m, params, tx)
+    step = jax.jit(trainer.make_train_step(m, masked, use_ema=False))
+    batch = {"image": jnp.asarray(
+        np.random.RandomState(0).randn(2, 16, 16, 3) * 0.1, jnp.float32)}
+    _, logs = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(logs["loss"]))
+
+    out = m.sample(params, jax.random.PRNGKey(1), 1, steps=4, eta=0.0,
+                   sampler="ddim")
+    assert out.shape == (1, 16, 16, 3)
+    np.testing.assert_allclose(
+        np.asarray(m.decode_first_stage(params, out)), np.asarray(out))
+
+
+def test_learn_logvar_trains_the_logvar():
+    """learn_logvar=True puts a per-timestep logvar in the params tree and
+    the optimizer moves it (``frido.py:121-124,473-474``)."""
+    from frido_tpu.models.frido import DDPM
+
+    m = DDPM(unet_config={
+        "target": "frido_tpu.nn.pyunet.PyUNetModel",
+        "params": {"image_size": 16, "in_channels": 3, "out_channels": 3,
+                   "model_channels": 32, "num_res_blocks": 1,
+                   "attention_resolutions": [4], "num_head_channels": 8,
+                   "channel_mult": [1, 2]}},
+        channels=3, image_size=16, timesteps=100, learn_logvar=True,
+        logvar_init=0.0)
+    params = m.init_params(jax.random.PRNGKey(0))
+    assert params["params"]["logvar"].shape == (100,)
+
+    tx = optim.build_optimizer(1e-2)
+    state, masked = trainer.create_train_state(m, params, tx)
+    step = jax.jit(trainer.make_train_step(m, masked, use_ema=False))
+    batch = {"image": jnp.asarray(
+        np.random.RandomState(0).randn(4, 16, 16, 3) * 0.1, jnp.float32)}
+    s1, _ = step(state, batch, jax.random.PRNGKey(2))
+    moved = np.abs(np.asarray(s1.params["params"]["logvar"])
+                   - np.asarray(params["params"]["logvar"]))
+    assert moved.max() > 0  # the drawn timesteps' entries moved
+
+    # default: no logvar param at all
+    m2 = DDPM(unet_config=m.unet_config, channels=3, image_size=16,
+              timesteps=100)
+    assert "logvar" not in m2.init_params(jax.random.PRNGKey(0))["params"]
