@@ -8,6 +8,7 @@ reduction order)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import PartitionSpec as P
 
 from frido_tpu.parallel import mesh as pmesh
@@ -77,3 +78,49 @@ def test_tp_step_matches_replicated():
     for a, b in zip(jax.tree_util.tree_leaves(p_dp),
                     jax.tree_util.tree_leaves(p_tp)):
         np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+
+def test_tp_step_matches_dp_on_frido_model():
+    """DP x TP (4x2) vs DP-only (8x1) on the structurally-complete tiny
+    Frido model (split-head SPADE UNet + BERT cond stage with a sharded
+    vocab embedding + frozen MS-VQGAN): loss and updated params must agree.
+    This is the path GSPMD could mis-lower silently — especially the
+    embedding gather under a 'model'-sharded vocab (VERDICT item #7)."""
+    import numpy as np
+
+    from frido_tpu.models.frido import FridoDiffusion
+    from frido_tpu.training import optim, trainer
+    from tests.test_training import TINY_COND, TINY_FIRST, TINY_UNET
+
+    model = FridoDiffusion(
+        first_stage_config=TINY_FIRST, cond_stage_config=TINY_COND,
+        unet_config=TINY_UNET, timesteps=50, loss_type="l1", image_size=16,
+        channels=8, conditioning_key="crossattn", cond_stage_trainable=True)
+    params = model.init_params(jax.random.PRNGKey(0), context_len=8)
+    tx = optim.build_optimizer(1e-3)
+    batch = {
+        "image": np.random.RandomState(0).randn(8, 32, 32, 3)
+        .astype(np.float32),
+        "tokens": np.random.RandomState(1).randint(0, 32, (8, 8))
+        .astype(np.int32),
+    }
+
+    def run(n_data, n_model):
+        m = pmesh.make_mesh(n_data=n_data, n_model=n_model)
+        p = tp.shard_params(m, params)
+        state, masked = trainer.create_train_state(model, p, tx)
+        step = jax.jit(trainer.make_train_step(model, masked, use_ema=False))
+        b = pmesh.shard_batch(m, batch)
+        new_state, logs = step(state, b, jax.random.PRNGKey(7))
+        return float(logs["loss"]), jax.device_get(new_state.params)
+
+    loss_dp, p_dp = run(8, 1)
+    loss_tp, p_tp = run(4, 2)
+    assert loss_dp == pytest.approx(loss_tp, rel=1e-5)
+    flat_dp = jax.tree_util.tree_leaves_with_path(p_dp)
+    flat_tp = jax.tree_util.tree_leaves(p_tp)
+    assert len(flat_dp) == len(flat_tp)
+    for (path, a), b in zip(flat_dp, flat_tp):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5,
+            err_msg=jax.tree_util.keystr(path))
