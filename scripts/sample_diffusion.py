@@ -106,7 +106,12 @@ def resolve_resume(resume):
         run = os.path.dirname(d) if os.path.basename(d) == "checkpoints" else d
         return r, run
     with open(os.path.join(cdir, "last.json")) as f:
-        return json.load(f)["path"], run
+        meta = json.load(f)
+    # Rebuild from the basename rather than trusting the stored path: it was
+    # recorded at train time and may be relative to a different cwd (or the
+    # run may have been copied from another machine).
+    leaf = os.path.join(cdir, os.path.basename(meta["path"].rstrip("/")))
+    return (leaf if os.path.exists(leaf) else meta["path"]), run
 
 
 def build_model(cfg, ckpt, use_ema=True):
