@@ -19,10 +19,13 @@ that implies ~5.6 effective TFLOPS on V100 fp32, a plausible ~36% of its
 means the real V100 is faster than 0.14. This replaces round 1's
 inconsistent ~10.5 TFLOP/image estimate.
 
-Env overrides: BENCH_BATCH (default 64 — measured best on v5e: 2.18 img/s
-vs 2.02 at batch 32), BENCH_STEPS (default 200), BENCH_REPEATS (default 2),
-BENCH_DECODE_CHUNK (default 32 — bounds the 256x256 decoder's peak HBM so
-larger batches fit; numerically identical).
+Env overrides: BENCH_BATCH (default 128), BENCH_CFG_MODE (default
+'sequential' — two half-size UNet calls instead of one 2B-batched call;
+numerically identical, halves the sampler's peak activation memory so
+batch 128 fits HBM: measured 2.52 img/s vs 2.18 at batched/64),
+BENCH_STEPS (default 200), BENCH_REPEATS (default 2), BENCH_DECODE_CHUNK
+(default 32 — bounds the 256x256 decoder's peak HBM so larger batches
+fit; numerically identical).
 """
 
 from __future__ import annotations
@@ -40,7 +43,7 @@ V100_EST_IMG_PER_S = 0.14
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
     steps = int(os.environ.get("BENCH_STEPS", "200"))
     repeats = int(os.environ.get("BENCH_REPEATS", "2"))
     decode_chunk = int(os.environ.get("BENCH_DECODE_CHUNK", "32")) or None
@@ -81,7 +84,9 @@ def main():
         z = model.sample(params, rng, batch, context=ctx,
                          uncond_context=uctx, steps=steps, eta=0.0,
                          guidance_scale=1.5, sampler="plms",
-                         compute_dtype=jnp.bfloat16)
+                         compute_dtype=jnp.bfloat16,
+                         cfg_mode=os.environ.get("BENCH_CFG_MODE",
+                                                 "sequential"))
         img = model.decode_first_stage(params, z, chunk=decode_chunk)
         # scalar output: on the remote-TPU (axon) platform block_until_ready
         # does not synchronize and full-image device_get crosses the tunnel;

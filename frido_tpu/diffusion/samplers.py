@@ -50,6 +50,10 @@ class SamplerConfig:
     temperature: float = 1.0
     discretize: str = "uniform"
     keep_intermediates: bool = False
+    # CFG evaluation: 'batched' fuses cond+uncond into one 2B forward
+    # (best MXU utilization); 'sequential' runs them back to back, halving
+    # the UNet's peak activation memory so larger batches fit HBM
+    cfg_mode: str = "batched"
 
     @property
     def offset(self) -> int:
@@ -79,11 +83,15 @@ def _make_eps_window(cfg: SamplerConfig, eps_model: EpsModel, context,
         if gs != 1.0:
             assert uncond_context is not None, (
                 "guidance_scale != 1 requires unconditional conditioning")
-            xx = jnp.concatenate([x_in, x_in], axis=0)
-            tt = jnp.concatenate([tb, tb], axis=0)
-            cc = jnp.concatenate([uncond_context, context], axis=0)
-            out = eps_model(xx, tt, cc, stage)
-            e_u, e_c = jnp.split(out, 2, axis=0)
+            if cfg.cfg_mode == "sequential":
+                e_u = eps_model(x_in, tb, uncond_context, stage)
+                e_c = eps_model(x_in, tb, context, stage)
+            else:
+                xx = jnp.concatenate([x_in, x_in], axis=0)
+                tt = jnp.concatenate([tb, tb], axis=0)
+                cc = jnp.concatenate([uncond_context, context], axis=0)
+                out2 = eps_model(xx, tt, cc, stage)
+                e_u, e_c = jnp.split(out2, 2, axis=0)
             out = e_u + gs * (e_c - e_u)
         else:
             out = eps_model(x_in, tb, context, stage)

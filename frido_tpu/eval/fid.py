@@ -15,7 +15,7 @@ and is also exposed for precomputed feature sets.
 from __future__ import annotations
 
 import os
-from typing import Iterable, Tuple
+from typing import Iterable, Optional, Tuple
 
 import numpy as np
 
@@ -52,8 +52,15 @@ def inception_available() -> bool:
     return bool(os.environ.get("FRIDO_TPU_INCEPTION"))
 
 
-def load_images(folder: str, size: int = 299, limit: int = -1) -> np.ndarray:
-    """Load a PNG/JPG tree into [N, H, W, 3] float32 in [0, 1]."""
+def load_images(folder: str, size: Optional[int] = None,
+                limit: int = -1) -> np.ndarray:
+    """Load a PNG/JPG tree into [N, H, W, 3] float32 in [0, 1].
+
+    By default images keep their native size (they must be uniform, as
+    Frido eval outputs are) — the 299 resize happens inside the jitted
+    Inception preprocess with pytorch-fid's exact bilinear convention.
+    PIL resampling here would silently change the FID. Pass ``size`` only
+    for non-uniform folders (a documented deviation)."""
     from PIL import Image
 
     paths = sorted(
@@ -64,7 +71,8 @@ def load_images(folder: str, size: int = 299, limit: int = -1) -> np.ndarray:
     out = []
     for p in paths:
         img = Image.open(os.path.join(folder, p)).convert("RGB")
-        img = img.resize((size, size), Image.BILINEAR)
+        if size is not None:
+            img = img.resize((size, size), Image.BILINEAR)
         out.append(np.asarray(img, np.float32) / 255.0)
     return np.stack(out)
 

@@ -526,7 +526,8 @@ class FridoDiffusion:
     def sample(self, params, rng, batch_size: int, context=None,
                uncond_context=None, steps: int = 200, eta: float = 1.0,
                guidance_scale: float = 1.0, sampler: str = "plms",
-               x_T=None, x_init=None, compute_dtype=None):
+               x_T=None, x_init=None, compute_dtype=None,
+               cfg_mode: str = "batched"):
         from frido_tpu.diffusion import samplers
 
         shape = (batch_size, self.image_size, self.image_size, self.channels)
@@ -536,7 +537,7 @@ class FridoDiffusion:
             embed_dim_list=tuple(self.embed_dim_list),
             use_split_head=self.use_split_head,
             specify_channels=tuple(self.specify_channels),
-            num_stage=self.num_stage, kind=sampler)
+            num_stage=self.num_stage, kind=sampler, cfg_mode=cfg_mode)
 
         if compute_dtype is not None:
             # bf16 UNet compute: the update math and schedule stay fp32

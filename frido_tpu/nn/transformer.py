@@ -20,12 +20,28 @@ from frido_tpu.nn.spade import SPADE
 from frido_tpu.ops.image import interpolate_nearest
 
 
-# Measured on v5e (chained-dispatch timing, bq=bk=1024): the Pallas kernel
-# beats XLA dot-softmax-dot ~1.5-2.3x for long self-attention (kv >= 512
-# latent tokens) but loses on short-kv cross-attention (77-180 text tokens,
-# lane padding dominates) and tiny grids.
+# Measured on v5e (chained-dispatch timing, bq=bk=1024): the Pallas flash
+# kernel beats XLA dot-softmax-dot ~1.5-2.3x for long self-attention
+# (kv >= 512 latent tokens) but loses on short-kv cross-attention (77-180
+# text tokens, lane padding dominates) and tiny grids.
 _FLASH_MIN_KV = 512
 _FLASH_MIN_SCORES = 1 << 21
+
+# Below the flash range, the single-pass VMEM kernel (smalls_attention —
+# scores never touch HBM) wins at the UNet's mid-size spatial sites.
+# Measured (scripts/bench_attention_sites.py, v5e, flagship shapes,
+# CFG batch 128): self 256 tokens 2.35->2.09 ms, self 64 1.73->1.60,
+# cross 256q/77kv 2.14->1.75; LOSES at 16-token grids (1.26->1.46) and
+# 64q/77kv cross (1.47->1.57) — hence the floor conditions.
+_SMALLS_MAX_SEQ = 512
+
+
+def _use_smalls(nq: int, nk: int, scores: int) -> bool:
+    if max(nq, nk) > _SMALLS_MAX_SEQ or scores < 1 << 19:
+        return False
+    if nq == nk:
+        return nq >= 64          # self-attention: wins from 64 tokens up
+    return nq >= 256             # cross-attention: only at the largest grid
 
 
 def dot_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -36,7 +52,8 @@ def dot_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     (``frido_tpu.ops.pallas.attention``) on TPU; the einsum form is the
     reference semantics and the small-shape / CPU path.
     """
-    from frido_tpu.ops.pallas import flash_attention, use_pallas
+    from frido_tpu.ops.pallas import (flash_attention, smalls_attention,
+                                      use_pallas)
 
     batch = 1
     for s in q.shape[:-2]:
@@ -45,6 +62,8 @@ def dot_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if (use_pallas() and k.shape[-2] >= _FLASH_MIN_KV
             and scores >= _FLASH_MIN_SCORES):
         return flash_attention(q, k, v, scale)
+    if use_pallas() and _use_smalls(q.shape[-2], k.shape[-2], scores):
+        return smalls_attention(q, k, v, scale)
     sim = jnp.einsum("...id,...jd->...ij", q, k,
                      preferred_element_type=jnp.float32) * scale
     attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(q.dtype)

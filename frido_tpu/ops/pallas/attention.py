@@ -184,6 +184,99 @@ def _flash_bwd(scale, block_q, block_k, res, g):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+def _smalls_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    """Whole-sequence attention for one group of heads: scores, softmax and
+    the PV matmul all stay in VMEM — the O(S^2) matrix never touches HBM.
+    Logical block shapes are un-padded; Mosaic handles physical tiling."""
+    q = q_ref[...]  # [G, S, d]
+    k = k_ref[...]
+    v = v_ref[...]
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale  # [G, S, S] f32
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+# VMEM cap for the single-pass small-S path: per-group f32 scores
+# G*S*S*4 plus three [G, S, d] blocks (double-buffered) must fit ~12 MiB.
+_SMALLS_MAX_SEQ = 512
+
+
+def _smalls_forward(q, k, v, scale, interpret):
+    b, nq, d = q.shape
+    nk = k.shape[1]
+    # heads per program: amortize program overhead without blowing VMEM
+    # (f32 scores are G*nq*nk*4 bytes)
+    g = 8
+    while g > 1 and (b % g != 0 or g * nq * nk * 4 > 4 * 1024 * 1024):
+        g //= 2
+    if b % g != 0:
+        g = 1
+    grid = (b // g,)
+    return pl.pallas_call(
+        functools.partial(_smalls_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((g, nq, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, nk, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, nk, d), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((g, nq, d), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, nq, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * nq * nk * d,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=b * nq * nk,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _smalls(q, k, v, scale):
+    return _smalls_forward(q, k, v, scale, interpret=interpret_mode())
+
+
+def _smalls_fwd(q, k, v, scale):
+    return _smalls(q, k, v, scale), (q, k, v)
+
+
+def _smalls_bwd(scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda a, b, c: _reference_attention(a, b, c, scale),
+                     q, k, v)
+    return vjp(g)
+
+
+_smalls.defvjp(_smalls_fwd, _smalls_bwd)
+
+
+def smalls_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                     scale: float) -> jnp.ndarray:
+    """Single-pass (non-streaming) attention for short self-attention
+    sequences (S <= ~512, the UNet's 16/64/256-token spatial sites where
+    flash streaming overhead loses but XLA's dot-softmax-dot still round-
+    trips the score matrix through HBM). Same signature as
+    ``flash_attention``; q and k/v sequence lengths may differ as long as
+    both fit the VMEM budget."""
+    lead = q.shape[:-2]
+    nq, d = q.shape[-2:]
+    nk = k.shape[-2]
+    assert max(nq, nk) <= _SMALLS_MAX_SEQ, (nq, nk)
+    q3 = q.reshape(-1, nq, d)
+    k3 = k.reshape(-1, nk, d)
+    v3 = v.reshape(-1, nk, d)
+    out = _smalls(q3, k3, v3, float(scale))
+    return out.reshape(*lead, nq, d)
+
+
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     scale: float, *, block_q: int = 1024,
                     block_k: int = 1024) -> jnp.ndarray:

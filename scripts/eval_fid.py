@@ -15,16 +15,25 @@ def main():
     p.add_argument("--real", required=True)
     p.add_argument("--fake", required=True)
     p.add_argument("--limit", type=int, default=-1)
+    p.add_argument("--inception_score", action="store_true",
+                   help="also print IS of --fake (torch-fidelity's isc)")
     args = p.parse_args()
 
-    from frido_tpu.eval.fid import fid_between_folders, inception_available
+    from frido_tpu.eval.fid import (fid_between_folders,
+                                    inception_available, inception_logits,
+                                    load_images)
+    from frido_tpu.eval.metrics import inception_score
 
     if not inception_available():
-        print("FID skipped: set FRIDO_TPU_INCEPTION to local inception_v3 "
-              "weights (zero-egress environment).")
+        print("FID skipped: set FRIDO_TPU_INCEPTION to a local pytorch-fid "
+              "inception state_dict (zero-egress environment).")
         return
     fid = fid_between_folders(args.real, args.fake, args.limit)
     print(f"FID: {fid:.4f}")
+    if args.inception_score:
+        logits = inception_logits(load_images(args.fake, limit=args.limit))
+        mean, std = inception_score(logits)
+        print(f"IS: {mean:.4f} +/- {std:.4f}")
 
 
 if __name__ == "__main__":

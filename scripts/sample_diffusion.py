@@ -236,8 +236,12 @@ def _run(args, jax, jnp, instantiate_from_config, load_configs):
     out_dir = os.path.join(out_base, args.exp_name)
     os.makedirs(out_dir, exist_ok=True)
 
-    def run_pipeline(params, rng, tokens, utokens, batch_idx=0):
-        out = pipeline(params, rng, tokens, utokens)
+    def dispatch_pipeline(params, rng, tokens, utokens):
+        """Launch the device program without blocking (async dispatch)."""
+        return pipeline(params, rng, tokens, utokens)
+
+    def materialize(out, batch_idx=0):
+        """Fetch a dispatched batch to host (this is the sync point)."""
         if args.get_codebook:
             imgs, codes = out
             np.savez(os.path.join(out_dir, f"codes_{batch_idx:06}.npz"),
@@ -245,6 +249,10 @@ def _run(args, jax, jnp, instantiate_from_config, load_configs):
                         for i, c in enumerate(codes)})
             return np.asarray(imgs)
         return np.asarray(out)
+
+    def run_pipeline(params, rng, tokens, utokens, batch_idx=0):
+        return materialize(dispatch_pipeline(params, rng, tokens, utokens),
+                           batch_idx)
 
     if args.prompt is not None:
         tokens = jnp.asarray(model.tokenize([args.prompt] * args.batch_size))
@@ -269,24 +277,48 @@ def _run(args, jax, jnp, instantiate_from_config, load_configs):
     n_saved = len(glob.glob(os.path.join(out_dir, "sample", "*.png")))
     total = 0
     all_samples = []
+
+    # one-batch software pipeline: dispatch batch i, then while the device
+    # runs it, fetch/save batch i-1 and tokenize i+1 on the host. JAX
+    # dispatch is async, so the chip never idles on PNG writes or
+    # tokenization. (The reference runs these strictly serially,
+    # sample_diffusion.py:208-303.)
+    pending = None  # (device_out, names, inputs, batch_idx, t_dispatch)
+
+    def drain(pending):
+        nonlocal n_saved, total
+        out, names, inputs, bidx, t0 = pending
+        imgs = materialize(out, bidx)
+        dt = time.time() - t0
+        print(f"Throughput for this batch: {imgs.shape[0] / dt:.4f}")
+        n_saved = save_batch(imgs, out_dir, names, n_saved)
+        if inputs is not None:
+            save_batch(inputs, out_dir, names, 0, key="inputs")
+        all_samples.append(to_uint8(imgs))
+        total += imgs.shape[0]
+
+    dispatched = 0
     for batch_idx, batch in enumerate(loader):
         cond = batch[cond_key] if cond_key in batch else batch
         tokens = np.asarray(model.tokenize(cond))
         utokens = dummy_tokens_like(model, tokens, cond_key)
         rng, step_rng = jax.random.split(rng)
         t0 = time.time()
-        imgs = run_pipeline(params, step_rng, jnp.asarray(tokens),
-                            jnp.asarray(utokens), batch_idx)
-        dt = time.time() - t0
-        print(f"Throughput for this batch: {imgs.shape[0] / dt:.4f}")
-        names = batch.get("file_name")
-        n_saved = save_batch(imgs, out_dir, names, n_saved)
-        if "image" in batch:
-            save_batch(batch["image"], out_dir, names, 0, key="inputs")
-        all_samples.append(to_uint8(imgs))
-        total += imgs.shape[0]
-        if args.n_samples > 0 and total >= args.n_samples:
+        out = dispatch_pipeline(params, step_rng, jnp.asarray(tokens),
+                                jnp.asarray(utokens))
+        this = (out, batch.get("file_name"), batch.get("image"),
+                batch_idx, t0)
+        if pending is not None:
+            drain(pending)
+        pending = this
+        dispatched += tokens.shape[0]
+        if args.n_samples > 0 and dispatched >= args.n_samples:
             break
+    if pending is not None:
+        drain(pending)
+    if total == 0:
+        print("no batches sampled")
+        return
 
     allv = np.concatenate(all_samples)[: args.n_samples or None]
     shape_str = "x".join(map(str, allv.shape))

@@ -81,3 +81,37 @@ def test_dpmpp_two_stage_shapes_and_determinism():
     assert a.shape == (2, 8, 8, 4)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert np.isfinite(np.asarray(a)).all()
+
+
+def test_sequential_cfg_matches_batched():
+    """cfg_mode='sequential' (half the activation peak) must be numerically
+    identical to the batched 2B-forward CFG."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from frido_tpu.diffusion.samplers import SamplerConfig, sample
+    from frido_tpu.schedules import DiffusionSchedule
+
+    sched = DiffusionSchedule.create(timesteps=40)
+
+    def eps_model(x, t, ctx, stage):
+        w = (3, 3)[stage]
+        # per-SAMPLE context bias (a global mean would mix the cond and
+        # uncond halves of the batched-CFG call and sink the comparison)
+        bias = 0.0 if ctx is None else jnp.mean(
+            ctx, axis=(1, 2))[:, None, None, None]
+        return 0.1 * x[..., -w:] + bias
+
+    ctx = jnp.ones((2, 4, 8)) * 0.3
+    uctx = jnp.zeros((2, 4, 8))
+    outs = []
+    for mode in ("batched", "sequential"):
+        cfg = SamplerConfig(schedule=sched, num_steps=5, eta=0.0,
+                            guidance_scale=1.5, embed_dim_list=(3, 3),
+                            use_split_head=True, num_stage=2, kind="plms",
+                            cfg_mode=mode)
+        outs.append(np.asarray(sample(
+            cfg, eps_model, jax.random.PRNGKey(0), (2, 8, 8, 6),
+            context=ctx, uncond_context=uctx)))
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-6)

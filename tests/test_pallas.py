@@ -128,3 +128,52 @@ def test_vq_argmin_tie_breaks_to_first_index():
     z = jnp.ones((16, 4))
     idx = vq_argmin(z, e, block_n=8, block_k=4)
     np.testing.assert_array_equal(np.asarray(idx), np.zeros(16, np.int32))
+
+
+@pytest.mark.parametrize("bh,nq,nk,d", [
+    (24, 256, 256, 32),   # flagship ds-2 self-attn (12 heads x CFG batch)
+    (16, 64, 64, 32),     # ds-4 site
+    (8, 16, 16, 32),      # ds-8 site (tiny)
+    (6, 100, 100, 32),    # unaligned seq, bh not divisible by 8
+    (8, 256, 77, 64),     # short cross-attn shape
+])
+def test_smalls_attention_matches_reference(bh, nq, nk, d):
+    from frido_tpu.ops.pallas.attention import smalls_attention
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
+    q = jax.random.normal(k1, (bh, nq, d), jnp.float32)
+    k = jax.random.normal(k2, (bh, nk, d), jnp.float32)
+    v = jax.random.normal(k3, (bh, nk, d), jnp.float32)
+    scale = d ** -0.5
+    got = smalls_attention(q, k, v, scale)
+    want = _reference_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_smalls_attention_multihead_layout_and_grads():
+    from frido_tpu.ops.pallas.attention import smalls_attention
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(2), 3)
+    q = jax.random.normal(k1, (2, 4, 64, 32), jnp.float32)  # [B, H, S, d]
+    k = jax.random.normal(k2, (2, 4, 64, 32), jnp.float32)
+    v = jax.random.normal(k3, (2, 4, 64, 32), jnp.float32)
+    scale = 32 ** -0.5
+    got = smalls_attention(q, k, v, scale)
+    want = _reference_attention(
+        q.reshape(8, 64, 32), k.reshape(8, 64, 32),
+        v.reshape(8, 64, 32), scale).reshape(2, 4, 64, 32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+    def f(fn, a, b, c):
+        return jnp.sum(fn(a, b, c, scale) ** 2)
+
+    g1 = jax.grad(f, argnums=(1, 2, 3))(smalls_attention, q, k, v)
+    g2 = jax.grad(f, argnums=(1, 2, 3))(
+        lambda a, b, c, s: _reference_attention(
+            a.reshape(8, 64, 32), b.reshape(8, 64, 32),
+            c.reshape(8, 64, 32), s).reshape(2, 4, 64, 32), q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4)
