@@ -22,7 +22,7 @@ inconsistent ~10.5 TFLOP/image estimate.
 Env overrides: BENCH_BATCH (default 128), BENCH_CFG_MODE (default
 'sequential' — two half-size UNet calls instead of one 2B-batched call;
 numerically identical, halves the sampler's peak activation memory so
-batch 128 fits HBM: measured 2.52 img/s vs 2.18 at batched/64),
+batch 128 fits HBM: measured 2.80 img/s vs 2.18 at batched/64),
 BENCH_STEPS (default 200), BENCH_REPEATS (default 2), BENCH_DECODE_CHUNK
 (default 32 — bounds the 256x256 decoder's peak HBM so larger batches
 fit; numerically identical).
@@ -43,6 +43,9 @@ V100_EST_IMG_PER_S = 0.14
 
 
 def main():
+    from frido_tpu.utils.compilation_cache import enable as enable_xla_cache
+
+    enable_xla_cache()
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     steps = int(os.environ.get("BENCH_STEPS", "200"))
     repeats = int(os.environ.get("BENCH_REPEATS", "2"))

@@ -53,28 +53,36 @@ class DiffusionWrapper(nn.Module):
             self.unet_config["params"], name="diffusion_model")
 
     def __call__(self, x, t, c_concat=None, c_crossattn=None, stage=0,
-                 deterministic=True):
+                 deterministic=True, spade_pre=None):
         ck = self.conditioning_key
         if ck is None:
             return self.diffusion_model(x, t, stage=stage,
-                                        deterministic=deterministic)
+                                        deterministic=deterministic,
+                                        spade_pre=spade_pre)
         if ck == "concat":
             xc = jnp.concatenate([x] + list(c_concat), axis=-1)
             return self.diffusion_model(xc, t, stage=stage,
-                                        deterministic=deterministic)
+                                        deterministic=deterministic,
+                                        spade_pre=spade_pre)
         if ck == "crossattn":
             cc = jnp.concatenate(list(c_crossattn), axis=1)
             return self.diffusion_model(x, t, context=cc, stage=stage,
-                                        deterministic=deterministic)
+                                        deterministic=deterministic,
+                                        spade_pre=spade_pre)
         if ck == "hybrid":
             xc = jnp.concatenate([x] + list(c_concat), axis=-1)
             cc = jnp.concatenate(list(c_crossattn), axis=1)
             return self.diffusion_model(xc, t, context=cc, stage=stage,
-                                        deterministic=deterministic)
+                                        deterministic=deterministic,
+                                        spade_pre=spade_pre)
         if ck == "adm":
             return self.diffusion_model(x, t, y=c_crossattn[0], stage=stage,
-                                        deterministic=deterministic)
+                                        deterministic=deterministic,
+                                        spade_pre=spade_pre)
         raise NotImplementedError(ck)
+
+    def spade_tables(self, x_cond, stage):
+        return self.diffusion_model.spade_tables(x_cond, stage)
 
     def init_all(self, x, t, c_concat=None, c_crossattn=None):
         num_stage = self.unet_config["params"].get("num_stage", 1)
@@ -105,14 +113,21 @@ class FridoModule(nn.Module):
             self.cond_stage_model = None
 
     # --- sub-apply entry points (used via module.apply(..., method=...)) ---
-    def apply_model(self, x, t, context=None, stage=0, deterministic=True):
+    def apply_model(self, x, t, context=None, stage=0, deterministic=True,
+                    spade_pre=None):
         if self.conditioning_key is None:
-            return self.model(x, t, stage=stage, deterministic=deterministic)
+            return self.model(x, t, stage=stage, deterministic=deterministic,
+                              spade_pre=spade_pre)
         if self.conditioning_key in ("crossattn", "adm"):
             return self.model(x, t, c_crossattn=[context], stage=stage,
-                              deterministic=deterministic)
+                              deterministic=deterministic,
+                              spade_pre=spade_pre)
         return self.model(x, t, c_concat=[context], stage=stage,
-                          deterministic=deterministic)
+                          deterministic=deterministic, spade_pre=spade_pre)
+
+    def spade_tables(self, x_cond, stage):
+        """Stage-invariant SPADE modulation tables (PyUNetModel method)."""
+        return self.model.spade_tables(x_cond, stage)
 
     def encode_first_stage(self, x):
         if self.first_stage_model is None:
@@ -419,12 +434,14 @@ class FridoDiffusion:
         return self.cond_wrapper.tokenize(cond)
 
     def apply_model(self, params, x, t, context, stage: int,
-                    deterministic: bool = True):
+                    deterministic: bool = True, spade_pre=None):
         sip = self.extra.get("split_input_params")
         if sip and x.shape[1] > sip["ks"][0]:
             # fold/unfold patched inference (frido.py:1076-1160): run the
             # UNet per overlapping latent tile, blend by overlap count.
             # Tile positions are static -> fixed-shape calls under jit.
+            # (precomputed SPADE tables are full-grid, so the tiled path
+            # recomputes SPADE per tile — sample() never precomputes here)
             from frido_tpu.ops.tiling import tiled_apply
 
             return tiled_apply(
@@ -433,7 +450,12 @@ class FridoDiffusion:
                     method="apply_model"),
                 x, ks=tuple(sip["ks"]), stride=tuple(sip["stride"]))
         return self.module.apply(params, x, t, context, stage, deterministic,
-                                 method="apply_model")
+                                 spade_pre, method="apply_model")
+
+    def spade_tables(self, params, x_cond, stage: int):
+        """Precompute the stage-invariant SPADE (gamma, beta) tables from the
+        frozen previous-stage channels (see PyUNetModel.spade_tables)."""
+        return self.module.apply(params, x_cond, stage, method="spade_tables")
 
     # ------------------------------------------------------------------
     # training loss (frido.py:1025-1050, 1180-1224)
@@ -546,15 +568,35 @@ class FridoDiffusion:
             if uncond_context is not None:
                 uncond_context = uncond_context.astype(compute_dtype)
 
-            def eps_model(x, t, ctx, stage):
+            def eps_model(x, t, ctx, stage, spade_pre=None):
                 out = self.apply_model(
-                    params, x.astype(compute_dtype), t, ctx, stage)
+                    params, x.astype(compute_dtype), t, ctx, stage,
+                    spade_pre=spade_pre)
                 return out.astype(jnp.float32)
         else:
-            eps_model = lambda x, t, ctx, stage: self.apply_model(
-                params, x, t, ctx, stage)
+            eps_model = lambda x, t, ctx, stage, spade_pre=None: \
+                self.apply_model(params, x, t, ctx, stage,
+                                 spade_pre=spade_pre)
+
+        # Stage-invariant SPADE precompute: during stage s > 0 the previous
+        # stages' channels are frozen, so the SPADE modulation tables are
+        # computed once per stage (outside the step scan) instead of per
+        # step x CFG branch. Skipped under tiled inference (tables are
+        # full-grid).
+        stage_invariants = None
+        if (self.use_split_head and self.num_stage > 1
+                and not self.extra.get("split_input_params")
+                and self.unet_config["params"].get("use_SPADE_norm")):
+            def stage_invariants(stage, x_cond):
+                if stage == 0:
+                    return None
+                if compute_dtype is not None:
+                    x_cond = x_cond.astype(compute_dtype)
+                return self.spade_tables(params, x_cond, stage)
+
         return samplers.sample(cfg, eps_model, rng, shape, context,
-                               uncond_context, x_T=x_T, x_init=x_init)
+                               uncond_context, x_T=x_T, x_init=x_init,
+                               stage_invariants=stage_invariants)
 
 
     # ------------------------------------------------------------------

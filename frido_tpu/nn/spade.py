@@ -33,12 +33,22 @@ class SPADE(nn.Module):
         self.mlp_beta = Conv2d(self.norm_nc, self.kernel_size, padding=pw,
                                name="mlp_beta")
 
-    def __call__(self, x: jnp.ndarray, cond: jnp.ndarray | None) -> jnp.ndarray:
-        normalized = self.param_free_norm(x)
-        if cond is None:
-            return normalized
-        cond = interpolate_nearest(cond, (x.shape[1], x.shape[2]))
+    def gamma_beta(self, cond: jnp.ndarray,
+                   hw: tuple[int, int]) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """The modulation tables at resolution ``hw``. During sampling these
+        depend only on the frozen previous-stage channels, so callers
+        precompute them once per stage and reuse across every timestep and
+        CFG branch (samplers.py module docstring)."""
+        cond = interpolate_nearest(cond, hw)
         actv = jax.nn.relu(self.mlp_shared_conv(cond))
-        gamma = self.mlp_gamma(actv)
-        beta = self.mlp_beta(actv)
+        return self.mlp_gamma(actv), self.mlp_beta(actv)
+
+    def __call__(self, x: jnp.ndarray, cond: jnp.ndarray | None,
+                 pre: tuple[jnp.ndarray, jnp.ndarray] | None = None
+                 ) -> jnp.ndarray:
+        normalized = self.param_free_norm(x)
+        if pre is None and cond is None:
+            return normalized
+        gamma, beta = pre if pre is not None else self.gamma_beta(
+            cond, (x.shape[1], x.shape[2]))
         return normalized * (1 + gamma) + beta

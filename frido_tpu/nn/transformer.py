@@ -195,11 +195,14 @@ class SpatialTransformer(nn.Module):
         if self.use_mscond:
             self.cond_proj_in = Conv2d(inner, 1, name="cond_proj_in")
 
-    def __call__(self, x, context=None, feat_cond=None):
+    def spade_tables(self, cond, hw):
+        return self.norm.gamma_beta(cond, hw) if self.use_spade else None
+
+    def __call__(self, x, context=None, feat_cond=None, spade_pre=None):
         b, h, w, c = x.shape
         x_in = x
         if self.use_spade:
-            x = self.norm(x, feat_cond)
+            x = self.norm(x, feat_cond, spade_pre)
         else:
             x = self.norm(x)
 

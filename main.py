@@ -143,6 +143,9 @@ _RUN_LOGDIR = {"path": "", "fresh": False}
 def main():
     """Post-mortem debugging + debug_runs/ relocation wrapper
     (reference main.py:843-857)."""
+    from frido_tpu.utils.compilation_cache import enable as enable_xla_cache
+
+    enable_xla_cache()
     args, unknown = get_parser().parse_known_args()
     try:
         _main(args, unknown)

@@ -210,7 +210,10 @@ def main():
     import jax.numpy as jnp
 
     from frido_tpu.config import instantiate_from_config, load_configs
+    from frido_tpu.utils.compilation_cache import enable as enable_xla_cache
     from frido_tpu.utils.profiling import trace
+
+    enable_xla_cache()
 
     with trace(args.profile):
         _run(args, jax, jnp, instantiate_from_config, load_configs)
