@@ -68,6 +68,12 @@ def get_parser():
                    help="mixed-precision training: bf16 UNet fwd/bwd with "
                         "fp32 master params/optimizer (the reference's fp16 "
                         "flag is a no-op; fp32 remains the parity default)")
+    p.add_argument("--fsdp", type=str2bool, default=False, nargs="?",
+                   const=True,
+                   help="shard params/optimizer/EMA over the data axis "
+                        "(ZeRO-3 equivalent; parallel/fsdp.py). Peak HBM "
+                        "for train state drops ~n_devices-fold; numerics "
+                        "match replicated DP (tests/test_fsdp.py)")
     p.add_argument("--uncond_gen_mode", type=str2bool, default=False,
                    nargs="?", const=True,
                    help="reset the test-pass seed to seed+rank for "
@@ -172,7 +178,7 @@ def _main(args, unknown):
 
     from frido_tpu.config import instantiate_from_config, load_configs
     from frido_tpu.io import checkpoint as ckpt_io
-    from frido_tpu.parallel import mesh as pmesh
+    from frido_tpu.parallel import fsdp, mesh as pmesh
     from frido_tpu.training import optim, trainer
 
     now = datetime.datetime.now().strftime("%Y-%m-%dT%H-%M-%S")
@@ -277,22 +283,30 @@ def _main(args, unknown):
     mesh = pmesh.make_mesh(n_data=n_dev)
     use_remat = bool(mp.get("unet_config", {}).get("params", {})
                      .get("use_checkpoint", False))
+    if args.fsdp:
+        # ZeRO-3 equivalent: state sharded over the data axis; GSPMD
+        # all-gathers params per layer and reduce-scatters grads
+        state_sh = fsdp.state_shardings(mesh, state)
+        params_sh = state_sh.params
+    else:
+        state_sh = params_sh = pmesh.replicated(mesh)
     step_fn = jax.jit(
         trainer.make_train_step(
             model, masked_tx, remat=use_remat,
             compute_dtype=jnp.bfloat16 if args.bf16_train else None),
-        in_shardings=(pmesh.replicated(mesh), pmesh.batch_sharding(mesh),
+        in_shardings=(state_sh, pmesh.batch_sharding(mesh),
                       pmesh.replicated(mesh)),
-        out_shardings=(pmesh.replicated(mesh), pmesh.replicated(mesh)),
+        out_shardings=(state_sh, pmesh.replicated(mesh)),
         # donate the train state: params/opt/EMA update in place instead of
         # allocating a second copy of the largest buffers every step
         donate_argnums=(0,))
     eval_fn = jax.jit(
         trainer.make_eval_step(model),
-        in_shardings=(pmesh.replicated(mesh), pmesh.batch_sharding(mesh),
+        in_shardings=(params_sh, pmesh.batch_sharding(mesh),
                       pmesh.replicated(mesh)),
         out_shardings=pmesh.replicated(mesh))
-    state = pmesh.replicate(mesh, state)
+    state = (fsdp.shard_state(mesh, state) if args.fsdp
+             else pmesh.replicate(mesh, state))
 
     logger = CSVLogger(os.path.join(logdir, "metrics.csv"))
     if args.tensorboard:

@@ -156,6 +156,23 @@ def test_main_train_and_resume(workspace):
     assert "Restored training state at step 5" in r3.stdout
 
 
+def test_main_train_fsdp(workspace):
+    """--fsdp shards the train state over the data axis (ZeRO-3
+    equivalent, parallel/fsdp.py); the CLI wiring must train, validate
+    and checkpoint exactly like the replicated path."""
+    root, cfg_path = workspace
+    logdir = root / "logs_fsdp"
+    r = run_cli(["main.py", "--base", str(cfg_path), "-t", "True",
+                 "-n", "fsdp", "-l", str(logdir), "--max_steps", "3",
+                 "--log_every_steps", "1", "--n_devices", "2",
+                 "--fsdp", "True", "--no_test", "True",
+                 "--val_every_steps", "2", "--val_batches", "1"], REPO)
+    assert "loss" in r.stdout
+    assert "val/loss_ema" in r.stdout
+    runs = [d for d in os.listdir(logdir) if "fsdp" in d]
+    assert (logdir / runs[0] / "checkpoints" / "last.json").exists()
+
+
 def test_sample_cli_on_dataset(workspace):
     root, cfg_path = workspace
     out = root / "samples"
