@@ -11,13 +11,14 @@ baseline is anchored to the reference's own runtime claim: the mini t2i
 eval — 1000 images at PLMS 100 steps (``tools/frido/eval_t2i_minival.sh``)
 — finishes "within 1 hour on 1*V100" (``README.md:242``), i.e. >= 0.28
 img/s at 100 steps => ~0.14 img/s at the 200-step eval configuration
-(UNet calls scale linearly in steps and dominate: measured 40.3
-TFLOP/image at 200 steps = 800 CFG UNet calls x 0.0500 TFLOP + 0.32
-decode + 2 x 0.023 cond, XLA cost analysis via scripts/flops_audit.py;
-that implies ~5.6 effective TFLOPS on V100 fp32, a plausible ~36% of its
-15.7 peak). Conservative in our disfavor: any slack in "within 1 hour"
-means the real V100 is faster than 0.14. This replaces round 1's
-inconsistent ~10.5 TFLOP/image estimate.
+(UNet calls scale linearly in steps and dominate: measured 38.4
+TFLOP/image executed at 200 steps = 2 stages x 201 PLMS steps x a 0.0946
+TFLOP sequential-CFG pair + per-stage SPADE tables + 0.31 decode +
+2 x 0.023 cond, XLA cost analysis via scripts/flops_audit.py; that
+implies ~5+ effective TFLOPS on V100 fp32, a plausible ~1/3 of its 15.7
+peak). Conservative in our disfavor: any slack in "within 1 hour" means
+the real V100 is faster than 0.14. This replaces round 1's inconsistent
+~10.5 TFLOP/image estimate.
 
 Env overrides: BENCH_BATCH (default 128), BENCH_CFG_MODE (default
 'sequential' — two half-size UNet calls instead of one 2B-batched call;

@@ -21,10 +21,11 @@ program —
   stage instead of once per step x CFG branch;
 * classifier-free guidance runs as a single 2B-batched UNet call
   (vs. two sequential calls at ``plms.py:220-234``) or as two sequential
-  half-size calls (``cfg_mode='sequential'``) — in the sequential form the
-  two calls share every op that does not consume the context (conv stem,
-  self-attention, SPADE), which XLA CSE dedupes: measured 0.786x the FLOPs
-  of the batched form at identical numerics;
+  half-size calls (``cfg_mode='sequential'``) — numerically identical;
+  XLA CSE dedupes the ops upstream of the first cross-attention (measured
+  0.956x the FLOPs of the batched form, scripts/flops_audit.py) and the
+  activation working set halves, which is what lets batch 128 fit HBM and
+  makes sequential the faster end-to-end form (docs/PERF.md);
 * the PLMS Adams-Bashforth order ramp (``plms.py:285-301``) is a
   ``lax.switch`` over an eps-history scan carry; the first step (which costs
   one extra model call, ``plms.py:286-290``) is peeled out of the scan.

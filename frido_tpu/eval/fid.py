@@ -74,6 +74,13 @@ def load_images(folder: str, size: Optional[int] = None,
         if size is not None:
             img = img.resize((size, size), Image.BILINEAR)
         out.append(np.asarray(img, np.float32) / 255.0)
+    shapes = {a.shape for a in out}
+    if len(shapes) > 1:
+        raise ValueError(
+            f"{folder} contains {len(shapes)} different image sizes "
+            f"(e.g. {sorted(shapes)[:3]}); pass size= (--size in "
+            "scripts/eval_fid.py) to PIL-resize them — a documented "
+            "deviation from the native-resolution FID convention")
     return np.stack(out)
 
 
@@ -122,7 +129,8 @@ def inception_logits(images: np.ndarray, batch: int = 32) -> np.ndarray:
 
 
 def fid_between_folders(real_dir: str, fake_dir: str,
-                        limit: int = -1) -> float:
-    real = inception_features(load_images(real_dir, limit=limit))
-    fake = inception_features(load_images(fake_dir, limit=limit))
+                        limit: int = -1,
+                        size: Optional[int] = None) -> float:
+    real = inception_features(load_images(real_dir, size=size, limit=limit))
+    fake = inception_features(load_images(fake_dir, size=size, limit=limit))
     return fid_from_features(real, fake)

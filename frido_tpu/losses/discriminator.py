@@ -55,17 +55,24 @@ class ActNorm(nn.Module):
     freezes them behind an ``initialized`` flag; the JAX equivalent is to
     compute them from the batch ``module.init`` sees — params are
     immutable afterwards, which IS the post-first-batch torch behavior.
-    Torch ckpt leaves ``loc``/``scale`` [1, C, 1, 1] import as flat [C]
-    (see ``convert_leaf``).
+    For that to hold, callers must init with REAL images
+    (``create_vqgan_train_state(sample_images=...)``); a constant init
+    batch (e.g. ``jnp.zeros``) has zero std, where 1/std would start the
+    discriminator at a ~1e6 per-layer gain — that case falls back to the
+    identity transform (loc=0, scale=1) instead. Torch ckpt leaves
+    ``loc``/``scale`` [1, C, 1, 1] import as flat [C] (see
+    ``convert_leaf``).
     """
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        loc = self.param("loc", lambda rng: -jnp.mean(x, axis=(0, 1, 2)))
         # torch .std() is unbiased (ddof=1)
-        scale = self.param(
-            "scale_v",
-            lambda rng: 1.0 / (jnp.std(x, axis=(0, 1, 2), ddof=1) + 1e-6))
+        std = jnp.std(x, axis=(0, 1, 2), ddof=1)
+        real = std > 1e-5  # constant init batch -> identity, not 1/0
+        loc = self.param("loc", lambda rng: jnp.where(
+            real, -jnp.mean(x, axis=(0, 1, 2)), 0.0))
+        scale = self.param("scale_v", lambda rng: jnp.where(
+            real, 1.0 / (std + 1e-6), 1.0))
         return scale * (x + loc)
 
 

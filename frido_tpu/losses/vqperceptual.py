@@ -97,8 +97,10 @@ class VQLPIPSWithDiscriminator:
             disc_num_layers=disc_num_layers, disc_ndf=disc_ndf,
             use_lpips=self.use_lpips, use_actnorm=use_actnorm)
 
-    def init_params(self, rng, image_shape=(1, 64, 64, 3)):
-        x = jnp.zeros(image_shape)
+    def init_params(self, rng, image_shape=(1, 64, 64, 3),
+                    sample_images=None):
+        x = (jnp.asarray(sample_images) if sample_images is not None
+             else jnp.zeros(image_shape))
 
         def init_all(mod, x):
             out = [mod.disc(x)]

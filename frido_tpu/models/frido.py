@@ -674,18 +674,35 @@ class FridoDiffusion:
                 params, ctx, rng, n_row=min(2, x.shape[0]))
         return log
 
+    def _decode_intermediates_row(self, params, inters, final, stride):
+        """Decode sampler intermediates at ``stride`` into per-sample grids.
+
+        Shared tail of both galleries. Strided slicing happens ON DEVICE
+        (only the kept frames feed the decoder), and all kept frames decode
+        in one batched call instead of one dispatch per frame."""
+        from frido_tpu.utils import visualize as vz
+
+        frames = [si[::stride] for si in inters]  # [K_s, B, H, W, C] each
+        frames.append(final[None])
+        stacked = jnp.concatenate(frames, axis=0)
+        k, b = stacked.shape[:2]
+        imgs = np.asarray(self.decode_first_stage(
+            params, stacked.reshape((k * b,) + stacked.shape[2:])))
+        imgs = imgs.reshape((k, b) + imgs.shape[1:])
+        row = np.swapaxes(imgs, 0, 1)  # [B, K, H, W, C]
+        return np.stack([vz.make_grid(r, nrow=k) for r in row])
+
     def log_progressive_rows(self, params, ctx, rng, n_row: int = 2):
         """Progressive-generation gallery (``frido.py:1576-1582``): the
         full-T ancestral chain's x0 composites, decoded at a stride."""
-        import jax
-
         from frido_tpu.diffusion import samplers
-        from frido_tpu.utils import visualize as vz
 
         cfg = samplers.SamplerConfig(
             schedule=self.schedule, num_steps=self.timesteps, eta=1.0,
             guidance_scale=1.0, embed_dim_list=tuple(self.embed_dim_list),
-            use_split_head=self.use_split_head, num_stage=self.num_stage,
+            use_split_head=self.use_split_head,
+            specify_channels=tuple(self.specify_channels),
+            num_stage=self.num_stage,
             kind="vanilla", keep_intermediates=True)
         if ctx is not None:
             ctx = ctx[:n_row]
@@ -694,15 +711,8 @@ class FridoDiffusion:
         final, inters = samplers.sample(
             cfg, eps_model, rng,
             (n_row, self.image_size, self.image_size, self.channels), ctx)
-        stride = max(self.timesteps // 5, 1)
-        decoded = []
-        for stage_inter in inters:
-            for i in range(0, stage_inter.shape[0], stride):
-                decoded.append(np.asarray(
-                    self.decode_first_stage(params, stage_inter[i])))
-        decoded.append(np.asarray(self.decode_first_stage(params, final)))
-        row = np.stack(decoded, axis=1)
-        return np.stack([vz.make_grid(r, nrow=row.shape[1]) for r in row])
+        return self._decode_intermediates_row(
+            params, inters, final, max(self.timesteps // 5, 1))
 
     def log_rows(self, params, batch, rng=None, n_row: int = 2,
                  ddim_steps: int = 50, log_every_t: int = 10):
@@ -745,23 +755,17 @@ class FridoDiffusion:
         cfg = samplers.SamplerConfig(
             schedule=self.schedule, num_steps=ddim_steps, eta=0.0,
             guidance_scale=1.0, embed_dim_list=tuple(self.embed_dim_list),
-            use_split_head=self.use_split_head, num_stage=self.num_stage,
+            use_split_head=self.use_split_head,
+            specify_channels=tuple(self.specify_channels),
+            num_stage=self.num_stage,
             kind="plms", keep_intermediates=True)
         eps_model = lambda xx, tt, cc, ss: self.apply_model(
             params, xx, tt, cc, ss)
         final, inters = samplers.sample(
             cfg, eps_model, rng,
             (n_row, self.image_size, self.image_size, self.channels), ctx)
-        stride = max(ddim_steps // 5, 1)
-        decoded = []
-        for stage_inter in inters:
-            for i in range(0, stage_inter.shape[0], stride):
-                decoded.append(np.asarray(
-                    self.decode_first_stage(params, stage_inter[i])))
-        decoded.append(np.asarray(self.decode_first_stage(params, final)))
-        row = np.stack(decoded, axis=1)
-        log["denoise_row"] = np.stack(
-            [vz.make_grid(r, nrow=row.shape[1]) for r in row])
+        log["denoise_row"] = self._decode_intermediates_row(
+            params, inters, final, max(ddim_steps // 5, 1))
         return log
 
 

@@ -83,6 +83,23 @@ class SpatialRescalerModule(nn.Module):
 # host-side tokenization
 # ---------------------------------------------------------------------------
 
+def _fallback_vocab_notice(msg: str, warnings_mod) -> None:
+    """Warn — or raise under ``FRIDO_TPU_STRICT_VOCAB=1``.
+
+    The char/byte fallback vocabs keep zero-egress training-from-scratch
+    working, but their ids do not match any trained checkpoint's embedding
+    rows, so checkpoint-consuming entry points (``scripts/
+    sample_diffusion.py``) set strict mode: silently sampling garbage from
+    an imported checkpoint is worse than failing."""
+    import os
+
+    if os.environ.get("FRIDO_TPU_STRICT_VOCAB", "0") not in ("", "0",
+                                                             "false"):
+        raise RuntimeError(msg + " (strict mode: FRIDO_TPU_STRICT_VOCAB "
+                           "is set — unset it to accept the fallback)")
+    warnings_mod.warn(msg)
+
+
 class BERTTokenizerHost:
     """BERT tokenization host-side (``modules.py:59-83``): truncate + pad to
     max_length, returns int32 [B, L] numpy tokens.
@@ -113,11 +130,12 @@ class BERTTokenizerHost:
 
             self._hf = BertTokenizerFast.from_pretrained(src)
         except Exception:  # no cache, no egress -> vendored fallback
-            warnings.warn(
-                "bert-base-uncased vocab unavailable locally; using the "
-                "vendored char-fallback WordPiece vocab (fine for training "
-                "from scratch; set FRIDO_TPU_BERT_VOCAB to a vocab.txt for "
-                "checkpoint-compatible ids)")
+            _fallback_vocab_notice(
+                "bert-base-uncased vocab unavailable locally; the vendored "
+                "char-fallback WordPiece vocab is fine for training from "
+                "scratch but its ids DO NOT match any trained checkpoint's "
+                "embedding rows — set FRIDO_TPU_BERT_VOCAB to a vocab.txt "
+                "for checkpoint-compatible ids", warnings)
             self.tokenizer = WordPieceTokenizer()
 
     def __call__(self, texts):
@@ -273,11 +291,12 @@ class CLIPTokenizerHost:
 
             self._hf = CLIPTokenizer.from_pretrained(src)
         except Exception:  # no cache, no egress -> vendored fallback
-            warnings.warn(
-                "CLIP BPE vocab unavailable locally; using the vendored "
-                "byte-level fallback (fine for training from scratch; set "
-                "FRIDO_TPU_CLIP_VOCAB to a vocab.json/merges.txt dir for "
-                "checkpoint-compatible ids)")
+            _fallback_vocab_notice(
+                "CLIP BPE vocab unavailable locally; the vendored "
+                "byte-level fallback is fine for training from scratch but "
+                "its ids DO NOT match any trained checkpoint's embedding "
+                "rows — set FRIDO_TPU_CLIP_VOCAB to a vocab.json/merges.txt "
+                "dir for checkpoint-compatible ids", warnings)
             self.tokenizer = ClipBPETokenizer()
 
     def __call__(self, texts):

@@ -36,9 +36,13 @@ _FLASH_MIN_SCORES = 1 << 21
 _SMALLS_MAX_SEQ = 512
 
 
-def _use_smalls(nq: int, nk: int, scores: int) -> bool:
+def _use_smalls(nq: int, nk: int, d: int, scores: int) -> bool:
+    from frido_tpu.ops.pallas import smalls_vmem_ok
+
     if max(nq, nk) > _SMALLS_MAX_SEQ or scores < 1 << 19:
         return False
+    if not smalls_vmem_ok(nq, nk, d):
+        return False             # large-d shapes blow VMEM even at group 1
     if nq == nk:
         return nq >= 64          # self-attention: wins from 64 tokens up
     return nq >= 256             # cross-attention: only at the largest grid
@@ -62,7 +66,8 @@ def dot_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if (use_pallas() and k.shape[-2] >= _FLASH_MIN_KV
             and scores >= _FLASH_MIN_SCORES):
         return flash_attention(q, k, v, scale)
-    if use_pallas() and _use_smalls(q.shape[-2], k.shape[-2], scores):
+    if use_pallas() and _use_smalls(q.shape[-2], k.shape[-2], q.shape[-1],
+                                    scores):
         return smalls_attention(q, k, v, scale)
     sim = jnp.einsum("...id,...jd->...ij", q, k,
                      preferred_element_type=jnp.float32) * scale

@@ -10,6 +10,8 @@ implemented here as fused VMEM-resident kernels; the jnp formulations in
 semantics and the CPU/grad fallback.
 """
 
-from frido_tpu.ops.pallas.attention import flash_attention, smalls_attention  # noqa: F401
+from frido_tpu.ops.pallas.attention import (flash_attention,  # noqa: F401
+                                            smalls_attention,
+                                            smalls_vmem_ok)
 from frido_tpu.ops.pallas.dispatch import use_pallas  # noqa: F401
 from frido_tpu.ops.pallas.vq_pallas import vq_argmin  # noqa: F401

@@ -209,13 +209,33 @@ def _smalls_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
 _SMALLS_MAX_SEQ = 512
 
 
+def _smalls_vmem_bytes(g: int, nq: int, nk: int, d: int) -> int:
+    """VMEM estimate for one group step. Counts ALL resident blocks, not
+    just the f32 scores: q/o are [G, nq, d], k/v are [G, nk, d] (f32 worst
+    case, inputs double-buffered by the pipeline) plus the G*nq*nk f32
+    score matrix — at d=512 the block terms dominate the score term."""
+    scores = g * nq * nk * 4
+    blocks = g * (nq + 2 * nk) * d * 4 * 2  # q,k,v double-buffered
+    out = g * nq * d * 4
+    return scores + blocks + out
+
+
+_SMALLS_VMEM_BUDGET = 8 * 1024 * 1024
+
+
+def smalls_vmem_ok(nq: int, nk: int, d: int) -> bool:
+    """True if the single-pass kernel fits VMEM even at group size 1 —
+    dispatch gates must check this so large-d shapes fall back to XLA."""
+    return _smalls_vmem_bytes(1, nq, nk, d) <= _SMALLS_VMEM_BUDGET
+
+
 def _smalls_forward(q, k, v, scale, interpret):
     b, nq, d = q.shape
     nk = k.shape[1]
     # heads per program: amortize program overhead without blowing VMEM
-    # (f32 scores are G*nq*nk*4 bytes)
     g = 8
-    while g > 1 and (b % g != 0 or g * nq * nk * 4 > 4 * 1024 * 1024):
+    while g > 1 and (b % g != 0 or
+                     _smalls_vmem_bytes(g, nq, nk, d) > _SMALLS_VMEM_BUDGET):
         g //= 2
     if b % g != 0:
         g = 1

@@ -36,10 +36,17 @@ def _last_layer_leaf(params_g: Dict) -> jnp.ndarray:
 
 
 def create_vqgan_train_state(module, loss_wrapper, rng, tx_g, tx_d,
-                             image_shape=(1, 64, 64, 3)) -> VQGANTrainState:
+                             image_shape=(1, 64, 64, 3),
+                             sample_images=None) -> VQGANTrainState:
+    """``sample_images``: real images for init. Required for faithful
+    ActNorm data-dependent init (use_actnorm — torch computes loc/scale
+    from the first training batch); with None the init batch is zeros and
+    ActNorm starts at identity (discriminator.py docstring)."""
     rng_g, rng_d = jax.random.split(rng)
-    params_g = module.init(rng_g, jnp.zeros(image_shape))
-    vars_d = loss_wrapper.init_params(rng_d, image_shape)
+    x0 = (jnp.asarray(sample_images) if sample_images is not None
+          else jnp.zeros(image_shape))
+    params_g = module.init(rng_g, x0)
+    vars_d = loss_wrapper.init_params(rng_d, image_shape, sample_images)
     return VQGANTrainState(
         params_g=params_g,
         vars_d=vars_d,

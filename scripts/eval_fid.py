@@ -15,6 +15,13 @@ def main():
     p.add_argument("--real", required=True)
     p.add_argument("--fake", required=True)
     p.add_argument("--limit", type=int, default=-1)
+    p.add_argument("--size", type=int, default=None,
+                   help="PIL-resize images to SIZExSIZE before the "
+                        "Inception preprocess — needed for folders of "
+                        "non-uniform sizes (e.g. raw COCO val). Default "
+                        "keeps native resolution (pytorch-fid convention; "
+                        "the 299 bilinear resize happens inside the jitted "
+                        "Inception graph)")
     p.add_argument("--inception_score", action="store_true",
                    help="also print IS of --fake (torch-fidelity's isc)")
     args = p.parse_args()
@@ -28,10 +35,12 @@ def main():
         print("FID skipped: set FRIDO_TPU_INCEPTION to a local pytorch-fid "
               "inception state_dict (zero-egress environment).")
         return
-    fid = fid_between_folders(args.real, args.fake, args.limit)
+    fid = fid_between_folders(args.real, args.fake, args.limit,
+                              size=args.size)
     print(f"FID: {fid:.4f}")
     if args.inception_score:
-        logits = inception_logits(load_images(args.fake, limit=args.limit))
+        logits = inception_logits(load_images(args.fake, size=args.size,
+                                              limit=args.limit))
         mean, std = inception_score(logits)
         print(f"IS: {mean:.4f} +/- {std:.4f}")
 

@@ -120,6 +120,14 @@ def build_model(cfg, ckpt, use_ema=True):
     from frido_tpu.models.frido import FridoDiffusion
     from frido_tpu.training.ema import import_ema
 
+    if ckpt and os.path.isfile(ckpt):
+        # Imported torch checkpoints were trained with real HF vocabs; the
+        # vendored char/byte fallback vocab would silently sample garbage
+        # against their embedding rows — make the tokenizer fail hard
+        # instead (frido_tpu/nn/encoders.py). From-scratch runs (orbax
+        # dirs) keep the fallback: they trained with the same ids.
+        os.environ.setdefault("FRIDO_TPU_STRICT_VOCAB", "1")
+
     mp = dict(cfg["model"]["params"])
     model = FridoDiffusion(
         first_stage_config=mp.pop("first_stage_config"),

@@ -69,12 +69,18 @@ def main():
     tx_d = optax.adam(lr, b1=0.5, b2=0.9)
 
     size = cfg["data"]["params"]["train"]["params"]["target_image_size"]
+    # data-dependent init (ActNorm loc/scale, use_actnorm) needs real
+    # images — torch computes them from the first training batch
+    sample = None
+    if mp["lossconfig"].get("params", {}).get("use_actnorm"):
+        first = next(iter(data.train_dataloader()))
+        sample = np.asarray(first["image"], np.float32)
     # init on host: eager init through the remote-TPU tunnel costs one
     # round-trip per op; CPU init + device_put is minutes faster
     with jax.default_device(jax.devices("cpu")[0]):
         state = create_vqgan_train_state(
             module, loss, jax.random.PRNGKey(args.seed), tx_g, tx_d,
-            image_shape=(1, size, size, 3))
+            image_shape=(1, size, size, 3), sample_images=sample)
     state = jax.device_put(state, jax.devices()[0])
     import jax.numpy as _jnp
 

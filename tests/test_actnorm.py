@@ -84,6 +84,43 @@ def test_nlayer_discriminator_actnorm_parity(reference_path):
         np.asarray(got).transpose(0, 3, 1, 2), out_ref.numpy(), atol=2e-4)
 
 
+def test_actnorm_constant_init_batch_falls_back_to_identity():
+    """A zero/constant init batch has std 0; 1/std would start the
+    discriminator at a ~1e6 per-layer gain. That case must init to the
+    identity transform instead (real data-dependent init requires
+    ``create_vqgan_train_state(sample_images=...)``)."""
+    ours = ActNorm()
+    params = ours.init(jax.random.PRNGKey(0), jnp.zeros((2, 8, 8, 6)))
+    np.testing.assert_array_equal(
+        np.asarray(params["params"]["loc"]), np.zeros(6))
+    np.testing.assert_array_equal(
+        np.asarray(params["params"]["scale_v"]), np.ones(6))
+    y = np.random.RandomState(3).randn(2, 8, 8, 6).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(ours.apply(params, jnp.asarray(y))), y, atol=1e-6)
+
+
+def test_gan_init_with_sample_images_uses_data_stats():
+    """init_params(sample_images=...) routes real images into the
+    data-dependent init, so every ActNorm's scale stays bounded (the
+    zeros-init path used to produce 1e6)."""
+    from frido_tpu.losses.vqperceptual import VQLPIPSWithDiscriminator
+
+    loss = VQLPIPSWithDiscriminator(
+        disc_start=0, disc_in_channels=3, disc_num_layers=2, disc_ndf=16,
+        perceptual_weight=0.0, use_actnorm=True)
+    real = np.random.RandomState(0).randn(4, 32, 32, 3).astype(np.float32)
+    params = loss.init_params(jax.random.PRNGKey(0),
+                              image_shape=(4, 32, 32, 3),
+                              sample_images=real)
+    scales = [np.asarray(v["scale_v"])
+              for k, v in params["params"]["discriminator"].items()
+              if isinstance(v, dict) and "scale_v" in v]
+    assert scales, "expected ActNorm layers in the discriminator"
+    for s in scales:
+        assert np.all(np.isfinite(s)) and np.max(np.abs(s)) < 1e3, s
+
+
 def test_gan_step_with_actnorm_runs():
     from frido_tpu.losses.vqperceptual import VQLPIPSWithDiscriminator
 

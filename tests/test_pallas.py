@@ -136,6 +136,7 @@ def test_vq_argmin_tie_breaks_to_first_index():
     (8, 16, 16, 32),      # ds-8 site (tiny)
     (6, 100, 100, 32),    # unaligned seq, bh not divisible by 8
     (8, 256, 77, 64),     # short cross-attn shape
+    (8, 256, 256, 512),   # VQGAN 16x16 single-head: d dominates VMEM
 ])
 def test_smalls_attention_matches_reference(bh, nq, nk, d):
     from frido_tpu.ops.pallas.attention import smalls_attention

@@ -142,6 +142,19 @@ def test_bert_embedder_tokenizes_without_network(monkeypatch):
     assert toks.max() < 30522
 
 
+def test_fallback_vocab_raises_in_strict_mode(monkeypatch):
+    """Checkpoint-consuming entry points set FRIDO_TPU_STRICT_VOCAB so an
+    imported torch checkpoint can't silently sample garbage through the
+    fallback vocab's incompatible ids (scripts/sample_diffusion.py)."""
+    monkeypatch.setenv("HF_HUB_OFFLINE", "1")
+    monkeypatch.delenv("FRIDO_TPU_BERT_VOCAB", raising=False)
+    monkeypatch.setenv("FRIDO_TPU_STRICT_VOCAB", "1")
+    from frido_tpu.nn.encoders import BERTTokenizerHost
+
+    with pytest.raises(RuntimeError, match="strict mode"):
+        BERTTokenizerHost()
+
+
 def test_bert_embedder_env_vocab(bert_vocab_file, monkeypatch):
     monkeypatch.setenv("FRIDO_TPU_BERT_VOCAB", bert_vocab_file)
     from frido_tpu.nn.encoders import BERTEmbedder
