@@ -94,3 +94,47 @@ def test_fsdp_step_matches_replicated_on_frido_model():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-5,
             err_msg=jax.tree_util.keystr(path))
+
+
+def test_fsdp_composes_with_bf16_and_remat():
+    """FSDP sharding under the production training options — bf16 compute
+    with fp32 masters plus loss rematerialization — must produce a finite
+    step whose loss tracks the replicated bf16+remat step (GSPMD +
+    jax.checkpoint + mixed dtypes is the combination most likely to
+    mis-lower silently)."""
+    import jax.numpy as jnp
+
+    from frido_tpu.models.frido import FridoDiffusion
+    from frido_tpu.training import optim, trainer
+    from tests.test_training import TINY_COND, TINY_FIRST, TINY_UNET
+
+    model = FridoDiffusion(
+        first_stage_config=TINY_FIRST, cond_stage_config=TINY_COND,
+        unet_config=TINY_UNET, timesteps=50, loss_type="l1", image_size=16,
+        channels=8, conditioning_key="crossattn", cond_stage_trainable=True)
+    params = model.init_params(jax.random.PRNGKey(0), context_len=8)
+    tx = optim.build_optimizer(1e-3)
+    batch = {
+        "image": np.random.RandomState(0).randn(8, 32, 32, 3)
+        .astype(np.float32),
+        "tokens": np.random.RandomState(1).randint(0, 32, (8, 8))
+        .astype(np.int32),
+    }
+
+    def run(shard_fn):
+        m = pmesh.make_mesh()
+        state, masked = trainer.create_train_state(model, params, tx)
+        state = shard_fn(m, state)
+        step = jax.jit(trainer.make_train_step(
+            model, masked, use_ema=True, remat=True,
+            compute_dtype=jnp.bfloat16))
+        b = pmesh.shard_batch(m, batch)
+        _, logs = step(state, b, jax.random.PRNGKey(7))
+        return float(logs["loss"])
+
+    loss_rep = run(pmesh.replicate)
+    loss_fsdp = run(lambda m, s: fsdp.shard_state(m, s, min_size=1))
+    assert np.isfinite(loss_fsdp)
+    # bf16 reduction order differs across the sharded collectives; require
+    # agreement at bf16 resolution, not exact equality
+    assert loss_rep == pytest.approx(loss_fsdp, rel=1e-2)
