@@ -128,6 +128,14 @@ def inception_logits(images: np.ndarray, batch: int = 32) -> np.ndarray:
                                  want_logits=True)
 
 
+def logits_from_features(features: np.ndarray) -> np.ndarray:
+    """Classifier logits from already-computed pool3 features — the fc head
+    is a plain affine map, so callers that have features (e.g. from a FID
+    pass) get IS logits without a second tower forward."""
+    fc = _inception_params()["fc"]
+    return features @ np.asarray(fc["w"]) + np.asarray(fc["b"])
+
+
 def fid_between_folders(real_dir: str, fake_dir: str,
                         limit: int = -1,
                         size: Optional[int] = None) -> float:

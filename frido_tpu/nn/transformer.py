@@ -33,11 +33,13 @@ _FLASH_MIN_SCORES = 1 << 21
 # CFG batch 128): self 256 tokens 2.35->2.09 ms, self 64 1.73->1.60,
 # cross 256q/77kv 2.14->1.75; LOSES at 16-token grids (1.26->1.46) and
 # 64q/77kv cross (1.47->1.57) — hence the floor conditions.
-_SMALLS_MAX_SEQ = 512
 
 
 def _use_smalls(nq: int, nk: int, d: int, scores: int) -> bool:
+    # The seq cap comes from the kernel itself so dispatch and the kernel's
+    # trace-time assert can never drift apart.
     from frido_tpu.ops.pallas import smalls_vmem_ok
+    from frido_tpu.ops.pallas.attention import _SMALLS_MAX_SEQ
 
     if max(nq, nk) > _SMALLS_MAX_SEQ or scores < 1 << 19:
         return False

@@ -205,7 +205,8 @@ def _smalls_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
 
 
 # VMEM cap for the single-pass small-S path: per-group f32 scores
-# G*S*S*4 plus three [G, S, d] blocks (double-buffered) must fit ~12 MiB.
+# G*S*S*4 plus three [G, S, d] blocks (double-buffered) must fit
+# _SMALLS_VMEM_BUDGET (8 MiB) below.
 _SMALLS_MAX_SEQ = 512
 
 

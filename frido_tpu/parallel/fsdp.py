@@ -51,9 +51,9 @@ def _leaf_spec(path: str, shape, n_data: int, n_model: int,
     return P(*entries)
 
 
-def _path_str(path) -> str:
-    return "/".join(
-        getattr(p, "key", getattr(p, "name", str(p))) for p in path)
+# Key-path stringification must match TP's (the specs key off the same
+# rule), so reuse it rather than carrying a second copy.
+_path_str = tp._path_str
 
 
 def state_shardings(mesh: Mesh, tree: Any,

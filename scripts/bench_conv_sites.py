@@ -1,0 +1,112 @@
+"""Microbench the UNet's conv-trunk sites: XLA's conv emitter vs matmul
+reformulations, at the flagship t2i f16f8 shapes.
+
+docs/PERF.md puts the remaining headline headroom in per-call conv MFU
+(~36% at batch 64); this measures whether hand-lowering the 3x3 convs to
+MXU matmuls beats the conv emitter at the shapes the sampler actually
+runs (sequential-CFG batch 128, NHWC, bf16):
+
+- ``conv``    — ``lax.conv_general_dilated`` NHWC/HWIO (what
+                ``frido_tpu.nn.layers.Conv2d`` emits today)
+- ``im2col``  — extract 3x3 patches, one [B*H*W, 9*Cin] @ [9*Cin, Cout]
+- ``shift9``  — 9 shifted [B*H*W, Cin] @ [Cin, Cout] dots accumulated
+                (keeps activations un-duplicated: 1x the HBM reads of
+                im2col's 9x)
+
+Chained-dispatch timing (scalar fetch as the barrier) like
+``bench_attention_sites.py``. Run on the real chip:
+``python scripts/bench_conv_sites.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+# (label, B, H=W, Cin, Cout) — flagship UNet levels at CFG-half batch 128:
+# latent 32^2, model_channels 192, mult (1, 2, 3, 5), plus the widest
+# up-path concat convs.
+SITES = [
+    ("lvl0 32^2 192->192", 128, 32, 192, 192),
+    ("lvl1 16^2 384->384", 128, 16, 384, 384),
+    ("lvl2  8^2 576->576", 128, 8, 576, 576),
+    ("lvl3  4^2 960->960", 128, 4, 960, 960),
+    ("up0  32^2 384->192", 128, 32, 384, 192),
+    ("up3   4^2 1920->960", 128, 4, 1920, 960),
+]
+ITERS = 30
+
+
+def conv(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def im2col(x, w):
+    b, h, wd, cin = x.shape
+    cout = w.shape[-1]
+    patches = jax.lax.conv_general_dilated_patches(
+        x, (3, 3), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))  # [B,H,W,9*Cin]
+    # patches channel order is Cin-major (I then HW); reorder w to match.
+    wmat = jnp.transpose(w, (2, 0, 1, 3)).reshape(cin * 9, cout)
+    return (patches.reshape(-1, cin * 9) @ wmat).reshape(b, h, wd, cout)
+
+
+def shift9(x, w):
+    b, h, wd, cin = x.shape
+    cout = w.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    out = jnp.zeros((b * h * wd, cout), x.dtype)
+    for dy in range(3):
+        for dx in range(3):
+            win = jax.lax.dynamic_slice(xp, (0, dy, dx, 0), (b, h, wd, cin))
+            out = out + win.reshape(-1, cin) @ w[dy, dx]
+    return out.reshape(b, h, wd, cout)
+
+
+def timed(fn, *args) -> float:
+    out = fn(*args)
+    float(out.ravel()[0])  # compile + sync
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = fn(*args)
+    float(out.ravel()[0])
+    return (time.perf_counter() - t0) / ITERS * 1e3
+
+
+def main():
+    print("backend:", jax.default_backend())
+    dtype = jnp.bfloat16
+    for label, b, h, cin, cout in SITES:
+        ks = jax.random.split(jax.random.PRNGKey(0), 2)
+        x = jax.random.normal(ks[0], (b, h, h, cin), dtype)
+        w = jax.random.normal(ks[1], (3, 3, cin, cout), dtype) * 0.02
+        fns = {"conv": conv, "im2col": im2col, "shift9": shift9}
+        ref = None
+        parts = []
+        tflop = b * h * h * 9 * cin * cout * 2 / 1e12
+        for name, fn in fns.items():
+            jfn = jax.jit(fn)
+            y = jfn(x, w)
+            if ref is None:
+                ref = y
+            else:  # same math, bf16 tolerance
+                err = float(jnp.max(jnp.abs(
+                    y.astype(jnp.float32) - ref.astype(jnp.float32))))
+                assert err < 0.5, (label, name, err)
+            t = timed(jfn, x, w)
+            parts.append(f"{name} {t:6.3f} ms ({tflop / t * 1e3:5.1f} TF/s)")
+        print(f"{label:22s} " + "  ".join(parts), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -26,22 +26,24 @@ def main():
                    help="also print IS of --fake (torch-fidelity's isc)")
     args = p.parse_args()
 
-    from frido_tpu.eval.fid import (fid_between_folders,
-                                    inception_available, inception_logits,
-                                    load_images)
+    from frido_tpu.eval.fid import (fid_from_features, inception_available,
+                                    inception_features, load_images,
+                                    logits_from_features)
     from frido_tpu.eval.metrics import inception_score
 
     if not inception_available():
         print("FID skipped: set FRIDO_TPU_INCEPTION to a local pytorch-fid "
               "inception state_dict (zero-egress environment).")
         return
-    fid = fid_between_folders(args.real, args.fake, args.limit,
-                              size=args.size)
-    print(f"FID: {fid:.4f}")
+    real = inception_features(load_images(args.real, size=args.size,
+                                          limit=args.limit))
+    fake = inception_features(load_images(args.fake, size=args.size,
+                                          limit=args.limit))
+    print(f"FID: {fid_from_features(real, fake):.4f}")
     if args.inception_score:
-        logits = inception_logits(load_images(args.fake, size=args.size,
-                                              limit=args.limit))
-        mean, std = inception_score(logits)
+        # IS logits are the fc head over the pool3 features just computed —
+        # no second image load / tower pass.
+        mean, std = inception_score(logits_from_features(fake))
         print(f"IS: {mean:.4f} +/- {std:.4f}")
 
 

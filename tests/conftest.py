@@ -47,6 +47,17 @@ requires_reference = pytest.mark.skipif(
 )
 
 
+@pytest.fixture(autouse=True)
+def _scoped_reference_stubs():
+    """Tear down reference_stub's sys.modules stubs after every test so a
+    stub never leaks into an unrelated test's imports (each parity test calls
+    install_reference() itself, which recreates the stubs on demand)."""
+    yield
+    from tests.reference_stub import uninstall_stubs
+
+    uninstall_stubs()
+
+
 @pytest.fixture(scope="session")
 def reference_path():
     if not REFERENCE.exists():
