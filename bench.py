@@ -6,56 +6,121 @@ sampling + first-stage decode per batch
 (``/root/reference/scripts/sample_diffusion.py:198-205``). Runs on the real
 TPU chip; prints ONE JSON line.
 
-The reference publishes no V100 throughput number (BASELINE.md). The
-baseline is anchored to the reference's own runtime claim: the mini t2i
-eval — 1000 images at PLMS 100 steps (``tools/frido/eval_t2i_minival.sh``)
-— finishes "within 1 hour on 1*V100" (``README.md:242``), i.e. >= 0.28
-img/s at 100 steps => ~0.14 img/s at the 200-step eval configuration
-(UNet calls scale linearly in steps and dominate: measured 38.4
-TFLOP/image executed at 200 steps = 2 stages x 201 PLMS steps x a 0.0946
-TFLOP sequential-CFG pair + per-stage SPADE tables + 0.31 decode +
-2 x 0.023 cond, XLA cost analysis via scripts/flops_audit.py; that
-implies ~5+ effective TFLOPS on V100 fp32, a plausible ~1/3 of its 15.7
-peak). Conservative in our disfavor: any slack in "within 1 hour" means
-the real V100 is faster than 0.14. This replaces round 1's inconsistent
-~10.5 TFLOP/image estimate.
+Wedge-proofing (the axon tunnel can wedge after a killed/OOM'd client —
+round 2's driver bench died with "Unable to initialize backend 'axon'"):
+the default invocation is an ORCHESTRATOR that (1) probes the TPU backend
+in a fresh, time-bounded subprocess, retrying with backoff, then (2) runs
+the actual benchmark in another fresh subprocess with its own timeout,
+also retried. A wedged attempt is killed and retried from a clean process;
+on persistent failure the orchestrator still prints one parseable JSON
+line whose ``error`` field names the tunnel state (so the driver records a
+diagnostic artifact instead of an rc=1 traceback). See docs/PERF.md
+("Tunnel wedge & recovery").
+
+Baseline anchor: the reference publishes no V100 throughput number
+(BASELINE.md). We anchor to its runtime claim that the mini t2i eval —
+1000 images at PLMS 100 steps (``tools/frido/eval_t2i_minival.sh``) —
+finishes "within 1 hour on 1*V100" (``README.md:242``). That bounds V100
+throughput FROM BELOW: >= 0.28 img/s at 100 steps => >= ~0.14 img/s at the
+200-step eval configuration (UNet calls scale linearly in steps and
+dominate: measured 38.4 TFLOP/image executed at 200 steps via
+scripts/flops_audit.py; ~5 effective V100 fp32 TFLOPS, a plausible ~1/3 of
+its 15.7 peak). 0.14 is therefore the SLOWEST V100 consistent with the
+claim — any slack in "within 1 hour" (and the hour covering dataloading/
+decode/IO, not pure sampling) means the real V100 is faster — so
+``vs_baseline`` is an UPPER BOUND on the true multiple, not a conservative
+estimate. We report the absolute img/s alongside it so the anchor can be
+re-based if a measured V100 number ever surfaces.
 
 Env overrides: BENCH_BATCH (default 128), BENCH_CFG_MODE (default
 'sequential' — two half-size UNet calls instead of one 2B-batched call;
 numerically identical, halves the sampler's peak activation memory so
 batch 128 fits HBM: measured 2.80 img/s vs 2.18 at batched/64),
-BENCH_STEPS (default 200), BENCH_REPEATS (default 2), BENCH_DECODE_CHUNK
-(default 32 — bounds the 256x256 decoder's peak HBM so larger batches
-fit; numerically identical).
+BENCH_STEPS (default 200; for dpmpp default 25), BENCH_SAMPLER (default
+'plms'; 'dpmpp' benchmarks the beyond-parity DPM-Solver++(2M) serving
+path), BENCH_REPEATS (default 2), BENCH_DECODE_CHUNK (default 32 — bounds
+the 256x256 decoder's peak HBM so larger batches fit; numerically
+identical), BENCH_PROBE_TIMEOUT (s, default 240), BENCH_TIMEOUT (worker
+wall-clock s, default 2400 — a cold run through the tunnel takes 13-15
+min and prints nothing until done), BENCH_ATTEMPTS (default 3),
+BENCH_INPROCESS=1 (skip the orchestrator; run probe+bench in this
+process — used by the orchestrator itself).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
-
 # reference README.md:242 anchor (see module docstring): 1000 imgs / 3600 s
-# at 100 steps, halved for the 200-step eval config
+# at 100 steps, halved for the 200-step eval config. This is a LOWER bound
+# on V100 throughput, making vs_baseline an UPPER bound on the multiple.
 V100_EST_IMG_PER_S = 0.14
 
 
-def main():
+def _metric_name() -> str:
+    sampler = os.environ.get("BENCH_SAMPLER", "plms")
+    steps = os.environ.get(
+        "BENCH_STEPS", "25" if sampler == "dpmpp" else "200")
+    label = "DPM-Solver++(2M)" if sampler == "dpmpp" else sampler.upper()
+    return f"t2i 256x256 images/sec/chip ({label} {steps} steps, CFG 1.5)"
+
+
+# ---------------------------------------------------------------------------
+# probe: can a fresh process reach the chip and execute one tiny matmul?
+# ---------------------------------------------------------------------------
+
+_PROBE_SRC = r"""
+import time, sys
+t0 = time.time()
+import jax, jax.numpy as jnp
+dev = jax.devices()[0]
+x = jnp.ones((256, 256))
+v = float((x @ x).mean())  # scalar fetch = the only reliable tunnel barrier
+print(f"probe ok: {dev.platform} matmul={v:.1f} in {time.time()-t0:.1f}s",
+      file=sys.stderr)
+"""
+
+
+def probe(timeout: float) -> tuple[bool, str]:
+    """Run a device probe in a fresh subprocess. Returns (ok, detail)."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _PROBE_SRC], timeout=timeout,
+            capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        return False, (f"probe timed out after {timeout:.0f}s — tunnel "
+                       "wedged (device init or matmul hung)")
+    if r.returncode != 0:
+        tail = (r.stderr or r.stdout or "").strip().splitlines()[-3:]
+        return False, "probe rc=%d: %s" % (r.returncode, " | ".join(tail))
+    return True, (r.stderr or "").strip().splitlines()[-1]
+
+
+# ---------------------------------------------------------------------------
+# worker: the actual benchmark (runs in-process; orchestrator subprocesses it)
+# ---------------------------------------------------------------------------
+
+def run_bench() -> dict:
+    import jax
+    import jax.numpy as jnp
+
     from frido_tpu.utils.compilation_cache import enable as enable_xla_cache
 
     enable_xla_cache()
+    sampler = os.environ.get("BENCH_SAMPLER", "plms")
     batch = int(os.environ.get("BENCH_BATCH", "128"))
-    steps = int(os.environ.get("BENCH_STEPS", "200"))
+    steps = int(os.environ.get(
+        "BENCH_STEPS", "25" if sampler == "dpmpp" else "200"))
     repeats = int(os.environ.get("BENCH_REPEATS", "2"))
     decode_chunk = int(os.environ.get("BENCH_DECODE_CHUNK", "32")) or None
-    if decode_chunk and batch % decode_chunk != 0:
-        # decode_first_stage silently falls back to a full (unchunked)
-        # decode when the batch doesn't divide — make that visible since
-        # the knob exists to bound decoder HBM.
-        import sys
+    if decode_chunk and batch > decode_chunk and batch % decode_chunk != 0:
+        # decode_first_stage only chunks when batch > chunk AND divides;
+        # otherwise it silently runs one full-batch decode — make that
+        # visible since the knob exists to bound decoder HBM.
         print(f"WARNING: BENCH_BATCH={batch} not divisible by "
               f"BENCH_DECODE_CHUNK={decode_chunk}; decode runs unchunked "
               f"(full-batch decoder HBM peak)", file=sys.stderr)
@@ -87,7 +152,7 @@ def main():
         uctx = model.get_learned_conditioning(params, utokens)
         z = model.sample(params, rng, batch, context=ctx,
                          uncond_context=uctx, steps=steps, eta=0.0,
-                         guidance_scale=1.5, sampler="plms",
+                         guidance_scale=1.5, sampler=sampler,
                          compute_dtype=jnp.bfloat16,
                          cfg_mode=os.environ.get("BENCH_CFG_MODE",
                                                  "sequential"))
@@ -119,13 +184,80 @@ def main():
 
     best = min(times)
     ips = batch / best
-    print(json.dumps({
-        "metric": f"t2i 256x256 images/sec/chip (PLMS {steps} steps, CFG 1.5)",
+    return {
+        "metric": _metric_name(),
         "value": round(ips, 4),
         "unit": "img/s",
+        # vs_baseline divides by a LOWER bound on V100 throughput derived
+        # from README.md:242 ("within 1 hour"), so this is an UPPER bound
+        # on the true multiple — see module docstring.
         "vs_baseline": round(ips / V100_EST_IMG_PER_S, 3),
+    }
+
+
+# ---------------------------------------------------------------------------
+# orchestrator: fresh-subprocess probe + bench with bounded retries
+# ---------------------------------------------------------------------------
+
+def orchestrate() -> int:
+    probe_timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", "240"))
+    bench_timeout = float(os.environ.get("BENCH_TIMEOUT", "2400"))
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
+    diag: list[str] = []
+
+    for i in range(attempts):
+        ok, detail = probe(probe_timeout)
+        diag.append(f"probe[{i}]: {detail}")
+        print(diag[-1], file=sys.stderr)
+        if not ok:
+            if i < attempts - 1:
+                backoff = 30 * (i + 1)
+                print(f"backing off {backoff}s before re-probe "
+                      "(wedges sometimes clear)", file=sys.stderr)
+                time.sleep(backoff)
+            continue
+
+        # probe ok → run the bench in a fresh subprocess (a wedge mid-run
+        # must not poison this process; timeout bounds a hung tunnel)
+        env = dict(os.environ, BENCH_INPROCESS="1")
+        try:
+            r = subprocess.run([sys.executable, __file__], env=env,
+                               timeout=bench_timeout, capture_output=True,
+                               text=True)
+        except subprocess.TimeoutExpired:
+            diag.append(f"bench[{i}]: timed out after {bench_timeout:.0f}s "
+                        "(wedge mid-run or compile stall)")
+            print(diag[-1], file=sys.stderr)
+            continue
+        if r.stderr:
+            sys.stderr.write(r.stderr)
+        line = next((l for l in reversed(r.stdout.strip().splitlines())
+                     if l.startswith("{")), None)
+        if r.returncode == 0 and line is not None:
+            print(line)
+            return 0
+        tail = (r.stderr or r.stdout or "").strip().splitlines()[-3:]
+        diag.append(f"bench[{i}]: rc={r.returncode}: " + " | ".join(tail))
+        print(diag[-1], file=sys.stderr)
+
+    # persistent failure → one parseable diagnostic JSON line
+    print(json.dumps({
+        "metric": _metric_name(),
+        "value": None,
+        "unit": "img/s",
+        "vs_baseline": None,
+        "error": "tpu_backend_unavailable",
+        "detail": ("axon tunnel did not serve a fresh process after "
+                   f"{attempts} probe/bench attempts; last-known-good "
+                   "driver-verified value is in BENCH_r01.json, builder "
+                   "runs in docs/PERF.md. Diagnostics: "
+                   + " || ".join(diag[-4:])),
     }))
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_INPROCESS") == "1":
+        print(json.dumps(run_bench()))
+    else:
+        sys.exit(orchestrate())

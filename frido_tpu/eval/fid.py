@@ -84,23 +84,24 @@ def load_images(folder: str, size: Optional[int] = None,
     return np.stack(out)
 
 
-_INCEPTION_PARAMS = None
+# cache keyed on the resolved weight path, so changing FRIDO_TPU_INCEPTION
+# within one process (e.g. comparing two weight files) reloads correctly
+_INCEPTION_PARAMS: dict = {}
 
 
 def _inception_params():
     """Load + cache the FID-Inception params pytree from
     ``FRIDO_TPU_INCEPTION`` (a .pth torch state_dict or equivalent .npz)."""
-    global _INCEPTION_PARAMS
-    if _INCEPTION_PARAMS is not None:
-        return _INCEPTION_PARAMS
     if not inception_available():
         raise RuntimeError(
             "Set FRIDO_TPU_INCEPTION to a local pytorch-fid inception "
             "state_dict (.pth or .npz) to compute FID features (no egress "
             "here).")
+    path = os.path.abspath(os.environ["FRIDO_TPU_INCEPTION"])
+    if path in _INCEPTION_PARAMS:
+        return _INCEPTION_PARAMS[path]
     from frido_tpu.eval import inception
 
-    path = os.environ["FRIDO_TPU_INCEPTION"]
     if path.endswith(".npz"):
         sd = dict(np.load(path))
     else:
@@ -108,8 +109,8 @@ def _inception_params():
 
         sd = torch.load(path, map_location="cpu")
         sd = sd.get("state_dict", sd)
-    _INCEPTION_PARAMS = inception.import_torch_state_dict(sd)
-    return _INCEPTION_PARAMS
+    _INCEPTION_PARAMS[path] = inception.import_torch_state_dict(sd)
+    return _INCEPTION_PARAMS[path]
 
 
 def inception_features(images: np.ndarray, batch: int = 32) -> np.ndarray:

@@ -4,6 +4,15 @@ Replaces Lightning ModelCheckpoint/resume (``/root/reference/main.py:
 594-634, 721-739``): train state (params, opt, EMA, step) saved as orbax
 checkpoints under ``<logdir>/checkpoints/step_N`` with a ``last`` pointer;
 ``find_resume`` scans a log root for the newest run of the same name.
+
+Sharded (FSDP/TP) states: ``save_train_state`` calls ``jax.device_get``,
+which gathers every shard to host (all shards are addressable in this
+single-process deployment), so the on-disk artifact is always a full,
+layout-free pytree. Restore is the inverse: ``restore_train_state`` lands
+host arrays into the caller's template, and the caller re-applies its
+sharding (``fsdp.shard_state`` / ``pmesh.replicate``) — main.py's resume
+order, round-trip-tested in ``tests/test_fsdp.py`` and across a real
+process boundary in ``tests/test_cli.py::test_main_train_fsdp``.
 """
 
 from __future__ import annotations

@@ -95,8 +95,10 @@ def _fallback_vocab_notice(msg: str, warnings_mod) -> None:
 
     if os.environ.get("FRIDO_TPU_STRICT_VOCAB", "0") not in ("", "0",
                                                              "false"):
-        raise RuntimeError(msg + " (strict mode: FRIDO_TPU_STRICT_VOCAB "
-                           "is set — unset it to accept the fallback)")
+        raise RuntimeError(
+            msg + " (strict mode: FRIDO_TPU_STRICT_VOCAB is set — vendor "
+            "the real vocab with `python -m frido_tpu.text.vendor …`, or "
+            "unset the variable to accept the non-canonical fallback)")
     warnings_mod.warn(msg)
 
 
@@ -107,8 +109,10 @@ class BERTTokenizerHost:
     Resolution order (the environment has no egress):
       1. ``FRIDO_TPU_BERT_VOCAB`` — path to a ``vocab.txt``; vendored
          WordPiece, id-identical to HF given the same file.
-      2. ``FRIDO_TPU_BERT_TOKENIZER`` / HF cache — BertTokenizerFast.
-      3. the vendored deterministic char-fallback vocab (train-from-scratch
+      2. a repo-vendored vocab (``python -m frido_tpu.text.vendor
+         /path/to/vocab.txt`` — one command makes the repo self-contained).
+      3. ``FRIDO_TPU_BERT_TOKENIZER`` / HF cache — BertTokenizerFast.
+      4. the vendored deterministic char-fallback vocab (train-from-scratch
          compatible; NOT bert-base-uncased ids — see frido_tpu.text).
     """
 
@@ -116,26 +120,43 @@ class BERTTokenizerHost:
         import os
         import warnings
 
-        from frido_tpu.text import WordPieceTokenizer
+        from frido_tpu.text import WordPieceTokenizer, vendor
 
         self.max_length = max_length
         self._hf = None
-        vocab = os.environ.get("FRIDO_TPU_BERT_VOCAB")
+        vocab = os.environ.get("FRIDO_TPU_BERT_VOCAB") \
+            or vendor.bert_vocab_path()
         if vocab:
             self.tokenizer = WordPieceTokenizer(vocab)
             return
-        src = os.environ.get("FRIDO_TPU_BERT_TOKENIZER", "bert-base-uncased")
+        explicit = os.environ.get("FRIDO_TPU_BERT_TOKENIZER")
+        src = explicit or "bert-base-uncased"
         try:
             from transformers import BertTokenizerFast
 
-            self._hf = BertTokenizerFast.from_pretrained(src)
-        except Exception:  # no cache, no egress -> vendored fallback
+            # implicit probe is cache-only: without local_files_only the
+            # hub client retries the network for minutes in a zero-egress
+            # environment before failing
+            self._hf = BertTokenizerFast.from_pretrained(
+                src, local_files_only=not explicit)
+        except Exception as e:  # no cache, no egress -> vendored fallback
+            if explicit:
+                # an explicitly requested tokenizer must not silently
+                # degrade to checkpoint-incompatible fallback ids
+                raise RuntimeError(
+                    f"FRIDO_TPU_BERT_TOKENIZER={explicit!r} was set but "
+                    f"loading it failed ({type(e).__name__}: {e}); refusing "
+                    "to fall back to the char vocab — fix the path or unset "
+                    "the variable") from e
             _fallback_vocab_notice(
-                "bert-base-uncased vocab unavailable locally; the vendored "
-                "char-fallback WordPiece vocab is fine for training from "
-                "scratch but its ids DO NOT match any trained checkpoint's "
-                "embedding rows — set FRIDO_TPU_BERT_VOCAB to a vocab.txt "
-                "for checkpoint-compatible ids", warnings)
+                "bert-base-uncased vocab unavailable locally — falling back "
+                "to the char-fallback vocab. This trains a DIFFERENT text "
+                "representation: results are NOT comparable to any "
+                "published Frido number, and the ids DO NOT match any "
+                "trained checkpoint's embedding rows. For canonical ids, "
+                "vendor a vocab once: `python -m frido_tpu.text.vendor "
+                "/path/to/vocab.txt` (or set FRIDO_TPU_BERT_VOCAB); see "
+                "tools/acceptance.sh for the full runbook", warnings)
             self.tokenizer = WordPieceTokenizer()
 
     def __call__(self, texts):
@@ -267,15 +288,17 @@ class CLIPTokenizerHost:
     Resolution order (the environment has no egress):
       1. ``FRIDO_TPU_CLIP_VOCAB`` — a directory with ``vocab.json`` +
          ``merges.txt``; vendored BPE, id-identical to HF given the files.
-      2. ``FRIDO_TPU_CLIP_TOKENIZER`` / HF cache — CLIPTokenizer.
-      3. the vendored byte-level fallback vocab (train-from-scratch only).
+      2. a repo-vendored pair (``python -m frido_tpu.text.vendor
+         vocab.json merges.txt``).
+      3. ``FRIDO_TPU_CLIP_TOKENIZER`` / HF cache — CLIPTokenizer.
+      4. the vendored byte-level fallback vocab (train-from-scratch only).
     """
 
     def __init__(self, version: str, max_length: int = 77):
         import os
         import warnings
 
-        from frido_tpu.text import ClipBPETokenizer
+        from frido_tpu.text import ClipBPETokenizer, vendor
 
         self.max_length = max_length
         self._hf = None
@@ -285,18 +308,34 @@ class CLIPTokenizerHost:
                 os.path.join(vdir, "vocab.json"),
                 os.path.join(vdir, "merges.txt"))
             return
-        src = os.environ.get("FRIDO_TPU_CLIP_TOKENIZER", version)
+        vendored = vendor.clip_vocab_paths()
+        if vendored:
+            self.tokenizer = ClipBPETokenizer(*vendored)
+            return
+        explicit = os.environ.get("FRIDO_TPU_CLIP_TOKENIZER")
+        src = explicit or version
         try:
             from transformers import CLIPTokenizer
 
-            self._hf = CLIPTokenizer.from_pretrained(src)
-        except Exception:  # no cache, no egress -> vendored fallback
+            # implicit probe is cache-only (see BERTTokenizerHost)
+            self._hf = CLIPTokenizer.from_pretrained(
+                src, local_files_only=not explicit)
+        except Exception as e:  # no cache, no egress -> vendored fallback
+            if explicit:
+                raise RuntimeError(
+                    f"FRIDO_TPU_CLIP_TOKENIZER={explicit!r} was set but "
+                    f"loading it failed ({type(e).__name__}: {e}); refusing "
+                    "to fall back to the byte vocab — fix the path or unset "
+                    "the variable") from e
             _fallback_vocab_notice(
-                "CLIP BPE vocab unavailable locally; the vendored "
-                "byte-level fallback is fine for training from scratch but "
-                "its ids DO NOT match any trained checkpoint's embedding "
-                "rows — set FRIDO_TPU_CLIP_VOCAB to a vocab.json/merges.txt "
-                "dir for checkpoint-compatible ids", warnings)
+                "CLIP BPE vocab unavailable locally — falling back to the "
+                "byte-level vocab. This trains a DIFFERENT text "
+                "representation: results are NOT comparable to any "
+                "published Frido number, and the ids DO NOT match any "
+                "trained checkpoint's embedding rows. For canonical ids, "
+                "vendor the files once: `python -m frido_tpu.text.vendor "
+                "vocab.json merges.txt` (or set FRIDO_TPU_CLIP_VOCAB); see "
+                "tools/acceptance.sh for the full runbook", warnings)
             self.tokenizer = ClipBPETokenizer()
 
     def __call__(self, texts):

@@ -29,6 +29,52 @@ def silu(x: jnp.ndarray) -> jnp.ndarray:
     return x * jax.nn.sigmoid(x)
 
 
+def _conv_mode() -> str:
+    """Conv lowering selector for the 3x3/stride-1 hot sites (the UNet
+    trunk is >=98% of sampling time at ~36% per-call MFU, docs/PERF.md).
+
+    FRIDO_CONV_MODE:
+      ``conv``  (default) — XLA's conv emitter (conv_general_dilated)
+      ``im2col``          — conv_general_dilated_patches + one matmul
+      ``shift9``          — nine shifted [M, Cin] @ [Cin, Cout] dots
+
+    All three are the same math (tests/test_layers.py pins equivalence);
+    the env var exists so scripts/bench_conv_sites.py's per-site findings
+    can be validated end-to-end on the full pipeline with one flag.
+    """
+    import os
+
+    return os.environ.get("FRIDO_CONV_MODE", "conv")
+
+
+def _conv3x3_im2col(x, kernel, pad):
+    b, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    patches = jax.lax.conv_general_dilated_patches(
+        x, (3, 3), (1, 1), pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))  # [B,H,W,Cin*9]
+    # patches channel order is Cin-major; reorder kernel to match
+    wmat = jnp.transpose(kernel, (2, 0, 1, 3)).reshape(cin * 9, cout)
+    oh, ow = patches.shape[1], patches.shape[2]
+    return (patches.reshape(-1, cin * 9) @ wmat).reshape(b, oh, ow, cout)
+
+
+def _conv3x3_shift9(x, kernel, pad):
+    b, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    xp = jnp.pad(x, ((0, 0), pad[0], pad[1], (0, 0)))
+    oh = xp.shape[1] - 2
+    ow = xp.shape[2] - 2
+    out = None
+    for dy in range(3):
+        for dx in range(3):
+            win = jax.lax.slice(
+                xp, (0, dy, dx, 0), (b, dy + oh, dx + ow, cin))
+            d = win.reshape(-1, cin) @ kernel[dy, dx]
+            out = d if out is None else out + d
+    return out.reshape(b, oh, ow, cout)
+
+
 class Conv2d(nn.Module):
     """torch-style Conv2d on NHWC input.
 
@@ -55,13 +101,18 @@ class Conv2d(nn.Module):
         else:
             pad = list(self.padding)
         dtype = self.dtype or x.dtype
-        y = jax.lax.conv_general_dilated(
-            x.astype(dtype),
-            kernel.astype(dtype),
-            window_strides=(self.stride, self.stride),
-            padding=pad,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        mode = _conv_mode()
+        if k == 3 and self.stride == 1 and mode != "conv":
+            lower = {"im2col": _conv3x3_im2col, "shift9": _conv3x3_shift9}
+            y = lower[mode](x.astype(dtype), kernel.astype(dtype), pad)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(dtype),
+                kernel.astype(dtype),
+                window_strides=(self.stride, self.stride),
+                padding=pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias.astype(dtype)

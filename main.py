@@ -49,6 +49,9 @@ def get_parser():
                         "validation loop)")
     p.add_argument("-tb", "--tensorboard", type=str2bool, default=False,
                    help="also log scalars to TensorBoard (logdir/tb)")
+    p.add_argument("--wandb", type=str2bool, default=False,
+                   help="also log scalars to Weights & Biases (reference "
+                        "main.py:684-717); degrades to CSV if not installed")
     p.add_argument("-d", "--debug", type=str2bool, default=False,
                    help="post-mortem pdb on failure + move a fresh run's "
                         "logdir to debug_runs/ (reference main.py:843-857)")
@@ -121,6 +124,21 @@ class TensorBoardLogger:
     def log(self, step, metrics):
         for k, v in metrics.items():
             self.writer.add_scalar(k, float(v), step)
+
+
+class WandbLogger:
+    """Optional Weights & Biases scalars (the reference's wandb logger
+    config branch, ``main.py:684-717``). Raises ImportError when wandb
+    isn't installed — callers degrade to CSV, matching the TB path."""
+
+    def __init__(self, logdir, run_name, config=None):
+        import wandb
+
+        self.run = wandb.init(project="frido_tpu", name=run_name,
+                              dir=logdir, config=config or {})
+
+    def log(self, step, metrics):
+        self.run.log({k: float(v) for k, v in metrics.items()}, step=step)
 
 
 class MultiLogger:
@@ -315,12 +333,40 @@ def _main(args, unknown):
                 logger, TensorBoardLogger(os.path.join(logdir, "tb")))
         except ImportError:
             print("tensorboard unavailable; CSV logging only")
+    if args.wandb:
+        try:
+            logger = MultiLogger(
+                logger, WandbLogger(logdir, os.path.basename(logdir)))
+        except ImportError:
+            print("wandb unavailable; falling back to CSV logging")
     from frido_tpu.training.image_logger import ImageLogger
 
     img_logger = ImageLogger(logdir, every_steps=args.img_log_every_steps)
 
     stop_requested = {"save": False}
     signal.signal(signal.SIGUSR1, lambda *_: stop_requested.update(save=True))
+
+    def _usr2_debugger(signum, frame):
+        # reference main.py:813-826: SIGUSR2 -> live-attach debugger (pudb
+        # there, stdlib pdb here). The handler runs in the main thread
+        # between bytecodes, so set_trace attaches at the interrupted frame.
+        # Without a tty, pdb would read EOF -> set_quit -> BdbQuit kills
+        # the run; dump the live stack instead (still actionable from logs).
+        import sys as _sys
+
+        if _sys.stdin.isatty():
+            print("SIGUSR2 received: attaching pdb (c to continue)",
+                  flush=True)
+            import pdb
+
+            pdb.Pdb().set_trace(frame)
+        else:
+            import traceback
+
+            print("SIGUSR2 received: no tty, dumping stack", flush=True)
+            traceback.print_stack(frame)
+
+    signal.signal(signal.SIGUSR2, _usr2_debugger)
 
     def save(step):
         try:

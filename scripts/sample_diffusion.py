@@ -213,7 +213,11 @@ def dummy_tokens_like(model, tokens, cond_stage_key):
 
 
 def main():
-    args = get_parser().parse_args()
+    # unknown args are OmegaConf-style dot-list config overrides
+    # (a.b.c=value), mirroring main.py / reference main.py:653-655 — lets
+    # e.g. tools/acceptance.sh retarget data_path without editing configs
+    args, unknown = get_parser().parse_known_args()
+    args.config_overrides = unknown
     import jax
     import jax.numpy as jnp
 
@@ -228,7 +232,8 @@ def main():
 
 
 def _run(args, jax, jnp, instantiate_from_config, load_configs):
-    cfg = load_configs([args.cfg_path])
+    cfg = load_configs([args.cfg_path],
+                       dotlist=getattr(args, "config_overrides", None))
     ckpt, run_logdir = resolve_resume(args.resume)
     model, params = build_model(cfg, ckpt, use_ema=not args.no_ema)
     params = jax.device_put(params, jax.devices()[0])

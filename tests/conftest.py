@@ -65,3 +65,11 @@ def reference_path():
     if str(REFERENCE) not in sys.path:
         sys.path.insert(0, str(REFERENCE))
     return REFERENCE
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "fast: <10-min tier (tools/pytest_cpu.sh -m fast) — schedules, "
+        "data, quantizers, tokenizers, tiling, toy-scale samplers; the "
+        "full suite (golden parity, CLI, flagship) has no marker")

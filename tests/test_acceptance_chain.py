@@ -1,0 +1,238 @@
+"""Toy-scale dry-run of the north-star acceptance chain (VERDICT r2 #3).
+
+The real adjudication — torch t2i checkpoint -> COCO mini-val PLMS-200
+sampling -> FID ~= 64.85 (``/root/reference/README.md:231,242``) — needs
+weights/data this box doesn't have. This test runs the SAME runbook
+(``tools/acceptance.sh``) end to end at toy scale so every link is
+exercised today: a real torch-format reference checkpoint is imported, the
+strict-vocab tokenizer resolves a local vocab.txt, the sampling CLI writes
+inputs/ + sample/ trees, and eval_fid computes a (random-weight) FID.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import yaml
+from PIL import Image
+
+from tests.conftest import requires_reference
+
+torch = pytest.importorskip("torch")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TINY_ED = dict(multiscale=2, double_z=False, z_channels=[4, 4], resolution=32,
+               in_channels=3, out_ch=3, ch=32, ch_mult=[1, 1, 2],
+               num_res_blocks=1, attn_resolutions=[8], dropout=0.0)
+TINY_DD = dict(double_z=False, z_channels=8, resolution=32, in_channels=3,
+               out_ch=3, ch=32, ch_mult=[1, 1], num_res_blocks=1,
+               attn_resolutions=[8], dropout=0.0)
+
+
+def _write_vocab(path) -> int:
+    toks = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+    toks += list("abcdefghijklmnopqrstuvwxyz0123456789")
+    toks += ["##" + c for c in "abcdefghijklmnopqrstuvwxyz0123456789"]
+    toks += list(".,!?;:$%#&()'\"-/=")
+    toks += ["a", "synthetic", "photo", "number", "img"]
+    seen, uniq = set(), []
+    for t in toks:
+        if t not in seen:
+            seen.add(t)
+            uniq.append(t)
+    path.write_text("\n".join(uniq) + "\n", encoding="utf-8")
+    return len(uniq)
+
+
+@pytest.fixture(scope="module")
+def acceptance_ws(tmp_path_factory):
+    root = tmp_path_factory.mktemp("acceptance")
+
+    # --- asset 1: a BERT vocab.txt (stands in for bert-base-uncased's) ---
+    vocab_path = root / "vocab.txt"
+    vocab_size = _write_vocab(vocab_path)
+
+    # --- synthetic COCO val tree with captions + a mini image-id file ---
+    coco = root / "coco2017"
+    (coco / "annotations").mkdir(parents=True)
+    (coco / "val2017").mkdir()
+    rng = np.random.RandomState(0)
+    imgs, anns, caps = [], [], []
+    for i in range(8):
+        fn = f"{i:012d}.jpg"
+        Image.fromarray(rng.randint(0, 255, (48, 48, 3), np.uint8)).save(
+            coco / "val2017" / fn)
+        imgs.append({"id": i, "file_name": fn, "width": 48, "height": 48,
+                     "coco_url": ""})
+        anns.append({"id": i, "image_id": i, "category_id": 1, "iscrowd": 0,
+                     "bbox": [4, 4, 20, 20]})
+        caps.append({"image_id": i, "id": 100 + i,
+                     "caption": f"a synthetic photo number {i}"})
+    payload = {"images": imgs, "annotations": anns,
+               "categories": [{"id": 1, "name": "cat", "supercategory": "a"}]}
+    json.dump(payload,
+              open(coco / "annotations" / "instances_val2017.json", "w"))
+    json.dump({"images": imgs, "annotations": [], "categories": []},
+              open(coco / "annotations" / "stuff_val2017.json", "w"))
+    json.dump({"annotations": caps},
+              open(coco / "annotations" / "captions_val2017.json", "w"))
+    # fixed-id mini-val file (the mechanism behind image_ids_t2i_coco_mini;
+    # ids are zero-padded 12-digit strings, coco.py matches "{:012d}")
+    id_file = root / "ids_mini.txt"
+    id_file.write_text("\n".join(f"{i:012d}" for i in range(6)) + "\n")
+
+    # --- the tiny t2i config (tokenizer-mode text conditioning) ---
+    unet = dict(use_split_head=True, split_embed_dim_list=[4, 4],
+                use_SPADE_norm=True, image_size=16, in_channels=8,
+                out_channels=8, model_channels=32, attention_resolutions=[2],
+                num_res_blocks=1, channel_mult=[1, 2], num_head_channels=16,
+                use_spatial_transformer=True, transformer_depth=1,
+                context_dim=32, num_stage=2)
+    first_stage = dict(
+        target="taming.models.msvqgan.VQModelInterface",
+        params=dict(embed_dim=[4, 4], n_embed=[32, 32], edconfig=TINY_ED,
+                    ddconfig=TINY_DD,
+                    lossconfig={"target": "taming.modules.losses.DummyLoss"}))
+    cond_params = dict(n_embed=32, n_layer=1, vocab_size=vocab_size,
+                       max_seq_len=16)
+    model_params = dict(
+        adopted_scale_factor=True, noise_mix_ratio=0.1,
+        first_stage_key="image", cond_stage_key="caption",
+        linear_start=0.0015, linear_end=0.0155, timesteps=40,
+        loss_type="l1", image_size=16, channels=8,
+        cond_stage_trainable=True, conditioning_key="crossattn",
+        scale_by_std=True)
+    ds = dict(
+        target="taming.data.annotated_objects_coco.AnnotatedObjectsCoco",
+        params=dict(
+            data_path=str(coco), split="validation",
+            keys=["image", "caption", "file_name"], target_image_size=32,
+            min_object_area=1e-5, min_objects_per_image=0,
+            max_objects_per_image=4, crop_method="center",
+            random_flip=False, no_tokens=64, use_group_parameter=True,
+            encode_crop=False, use_stuff=False,
+            caption_ann_path=str(
+                coco / "annotations" / "captions_val2017.json"),
+            img_id_file=str(id_file), num_sample=6))
+    cfg = {
+        "model": {
+            "base_learning_rate": 1e-4,
+            "target": "frido.models.diffusion.frido.FridoDiffusion",
+            "params": dict(
+                model_params,
+                unet_config=dict(
+                    target="frido.modules.diffusionmodules.pyunet."
+                           "PyUNetModel", params=unet),
+                first_stage_config=first_stage,
+                cond_stage_config=dict(
+                    target="frido.modules.encoders.modules.BERTEmbedder",
+                    params=dict(cond_params, use_tokenizer=True)),
+            ),
+        },
+        "data": {
+            "target": "main.DataModuleFromConfig",
+            "params": {"batch_size": 4, "test": ds, "num_workers": 0},
+        },
+    }
+    cfg_path = root / "tiny_t2i.yaml"
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+
+    # --- asset 2: a genuine torch-format reference checkpoint ---
+    # built from the real reference code (tokenizer-less cond build: the HF
+    # tokenizer is host-side and parameter-free, so the state_dict key
+    # surface is identical)
+    from tests.reference_stub import install_reference
+
+    install_reference()
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    import frido.models.diffusion.frido as ref_frido
+
+    torch.manual_seed(0)
+    ref = ref_frido.FridoDiffusion(
+        first_stage_config=first_stage,
+        cond_stage_config=dict(
+            target="frido.modules.encoders.modules.BERTEmbedder",
+            params=dict(cond_params, use_tokenizer=False)),
+        unet_config=dict(
+            target="frido.modules.diffusionmodules.pyunet.PyUNetModel",
+            params=unet),
+        **model_params).eval()
+    ckpt_path = root / "tiny_t2i.ckpt"
+    torch.save({"state_dict": ref.state_dict()}, str(ckpt_path))
+
+    # --- asset 3: (random-weight) FID inception state dict as .npz ---
+    from frido_tpu.eval import inception
+
+    sd = inception.random_state_dict(seed=0)
+    inception_path = root / "inception_random.npz"
+    np.savez(str(inception_path), **sd)
+
+    return dict(root=root, cfg=cfg_path, ckpt=ckpt_path,
+                vocab=vocab_path, inception=inception_path)
+
+
+def _run_acceptance(env_extra, timeout=900):
+    env = dict(os.environ)
+    env.update(JAX_PLATFORMS="cpu", FRIDO_TPU_PLATFORM="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=2")
+    env.update(env_extra)
+    return subprocess.run(
+        ["bash", "tools/acceptance.sh"], cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=timeout)
+
+
+@requires_reference
+def test_acceptance_chain_toy_scale(acceptance_ws):
+    ws = acceptance_ws
+    out = ws["root"] / "out"
+    r = _run_acceptance({
+        "CFG": str(ws["cfg"]), "CKPT": str(ws["ckpt"]),
+        "FRIDO_TPU_INCEPTION": str(ws["inception"]),
+        "FRIDO_TPU_BERT_VOCAB": str(ws["vocab"]),
+        "STEPS": "4", "BS": "4", "N": "8", "OUT": str(out),
+        "EXPECTED_FID": "",  # random weights: report FID, don't gate on it
+    })
+    assert r.returncode == 0, f"{r.stdout[-3000:]}\n{r.stderr[-3000:]}"
+    assert "FID" in r.stderr or "FID" in r.stdout
+    samples = list((out / "acceptance" / "sample").glob("*.png"))
+    inputs = list((out / "acceptance" / "inputs").glob("*.png"))
+    # img_id_file+num_sample restricts the test split to the 6 mini ids
+    assert len(samples) == 6 and len(inputs) == 6
+    assert "done: FID" in r.stderr
+
+
+@requires_reference
+def test_acceptance_chain_gates_on_fid(acceptance_ws):
+    """With EXPECTED_FID set, the runbook passes/fails on the tolerance
+    band. A random-weight inception is a degenerate FID oracle (features
+    collapse), so gate against an expectation the toy FID cannot meet —
+    this exercises the comparison logic, not the metric."""
+    ws = acceptance_ws
+    out = ws["root"] / "out_gate"
+    r = _run_acceptance({
+        "CFG": str(ws["cfg"]), "CKPT": str(ws["ckpt"]),
+        "FRIDO_TPU_INCEPTION": str(ws["inception"]),
+        "FRIDO_TPU_BERT_VOCAB": str(ws["vocab"]),
+        "STEPS": "2", "BS": "4", "N": "4", "OUT": str(out),
+        "EXPECTED_FID": "12345", "TOL": "1",
+    })
+    assert r.returncode == 1
+    assert "FAIL: FID" in r.stderr
+
+
+def test_acceptance_reports_missing_assets(tmp_path):
+    """Without the assets the runbook must name exactly what's missing and
+    exit 2 (runnable-the-day-weights-appear contract)."""
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("CKPT", "FRIDO_TPU_INCEPTION",
+                        "FRIDO_TPU_BERT_VOCAB")}
+    r = subprocess.run(["bash", "tools/acceptance.sh"], cwd=REPO, env=env,
+                       capture_output=True, text=True, timeout=60)
+    assert r.returncode == 2
+    assert "MISSING: CKPT" in r.stderr
+    assert "FRIDO_TPU_INCEPTION" in r.stderr
+    assert "vendor" in r.stderr  # points at the tokenizer vendoring hook

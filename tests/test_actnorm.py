@@ -19,6 +19,9 @@ torch = pytest.importorskip("torch")
 from frido_tpu.io.torch_import import import_state_dict  # noqa: E402
 from frido_tpu.losses.discriminator import ActNorm, NLayerDiscriminator  # noqa: E402
 
+# <10-min tier: tools/pytest_cpu.sh -m fast (VERDICT r2 #7)
+pytestmark = pytest.mark.fast
+
 
 @requires_reference
 def test_actnorm_init_and_forward_parity(reference_path):

@@ -1,5 +1,10 @@
 """Persistent-compilation-cache helper (frido_tpu/utils/compilation_cache)."""
 
+import pytest
+
+# <10-min tier: tools/pytest_cpu.sh -m fast (VERDICT r2 #7)
+pytestmark = pytest.mark.fast
+
 import os
 
 import jax

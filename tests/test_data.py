@@ -21,6 +21,9 @@ from frido_tpu.data.datamodule import (
 )
 from frido_tpu.data.helper_types import Annotation
 
+# <10-min tier: tools/pytest_cpu.sh -m fast (VERDICT r2 #7)
+pytestmark = pytest.mark.fast
+
 
 @pytest.fixture(scope="module")
 def coco_root(tmp_path_factory):

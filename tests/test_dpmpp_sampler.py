@@ -7,6 +7,11 @@ Pins two analytic properties:
   first-order DDIM).
 """
 
+import pytest
+
+# <10-min tier: tools/pytest_cpu.sh -m fast (VERDICT r2 #7)
+pytestmark = pytest.mark.fast
+
 import jax
 import jax.numpy as jnp
 import numpy as np

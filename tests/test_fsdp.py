@@ -138,3 +138,82 @@ def test_fsdp_composes_with_bf16_and_remat():
     # bf16 reduction order differs across the sharded collectives; require
     # agreement at bf16 resolution, not exact equality
     assert loss_rep == pytest.approx(loss_fsdp, rel=1e-2)
+
+
+def test_fsdp_checkpoint_roundtrip_resume(tmp_path):
+    """VERDICT r2 #6: save a SHARDED TrainState, restore into a fresh
+    state/mesh, continue training — the resumed run must match an
+    uninterrupted one step for step. Covers the production options
+    (bf16 compute + remat). save_train_state device_gets the sharded
+    state (full host gather); restore lands on host and is re-sharded by
+    fsdp.shard_state, which is exactly main.py's resume order."""
+    from frido_tpu.io import checkpoint as ckpt_io
+    from frido_tpu.models.frido import FridoDiffusion
+    from frido_tpu.training import optim, trainer
+    from tests.test_training import TINY_COND, TINY_FIRST, TINY_UNET
+
+    model = FridoDiffusion(
+        first_stage_config=TINY_FIRST, cond_stage_config=TINY_COND,
+        unet_config=TINY_UNET, timesteps=50, loss_type="l1", image_size=16,
+        channels=8, conditioning_key="crossattn", cond_stage_trainable=True)
+    params = model.init_params(jax.random.PRNGKey(0), context_len=8)
+    tx = optim.build_optimizer(1e-3)
+
+    def batch(i):
+        return {
+            "image": np.random.RandomState(i).randn(8, 32, 32, 3)
+            .astype(np.float32),
+            "tokens": np.random.RandomState(100 + i).randint(0, 32, (8, 8))
+            .astype(np.int32),
+        }
+
+    def fresh(m):
+        state, masked = trainer.create_train_state(model, params, tx)
+        step = jax.jit(trainer.make_train_step(
+            model, masked, use_ema=True, remat=True,
+            compute_dtype=jnp.bfloat16))
+        return state, step
+
+    # uninterrupted: 4 steps on one mesh
+    m1 = pmesh.make_mesh()
+    state, step = fresh(m1)
+    state = fsdp.shard_state(m1, state, min_size=1)
+    losses_a = []
+    for i in range(4):
+        state, logs = step(state, pmesh.shard_batch(m1, batch(i)),
+                           jax.random.PRNGKey(i))
+        losses_a.append(float(logs["loss"]))
+    final_a = jax.device_get(state.params)
+
+    # interrupted: 2 steps -> save sharded -> fresh mesh+state -> restore
+    # -> re-shard -> steps 3-4 with identical batches/rngs
+    state, step = fresh(m1)
+    state = fsdp.shard_state(m1, state, min_size=1)
+    for i in range(2):
+        state, logs = step(state, pmesh.shard_batch(m1, batch(i)),
+                           jax.random.PRNGKey(i))
+        assert float(logs["loss"]) == pytest.approx(losses_a[i])
+    ckdir = str(tmp_path / "ckpts")
+    ckpt_io.save_train_state(ckdir, 2, state)
+
+    m2 = pmesh.make_mesh()  # fresh mesh (fresh-process stand-in; the CLI
+    #                         test covers an actual process boundary)
+    state2, step2 = fresh(m2)
+    state2, restored_step = ckpt_io.restore_train_state(ckdir, state2)
+    assert restored_step == 2
+    state2 = fsdp.shard_state(m2, state2, min_size=1)
+    losses_b = []
+    for i in range(2, 4):
+        state2, logs = step2(state2, pmesh.shard_batch(m2, batch(i)),
+                             jax.random.PRNGKey(i))
+        losses_b.append(float(logs["loss"]))
+    final_b = jax.device_get(state2.params)
+
+    # identical programs + identical restored fp32 state => losses match
+    # exactly (bf16 casts happen inside the same compiled graph)
+    assert losses_b == pytest.approx(losses_a[2:], rel=1e-6)
+    for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(final_a),
+                            jax.tree_util.tree_leaves(final_b)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6,
+            err_msg=jax.tree_util.keystr(path))

@@ -29,6 +29,9 @@ from frido_tpu.ops.image import (  # noqa: E402
     pad_nhwc,
 )
 
+# <10-min tier: tools/pytest_cpu.sh -m fast (VERDICT r2 #7)
+pytestmark = pytest.mark.fast
+
 RNG = np.random.RandomState(0)
 
 
@@ -154,3 +157,33 @@ def test_path_to_torch_key():
         == "mid.block_1.conv1.bias"
     )
     assert flax_path_to_torch_key(("token_emb", "embedding")) == "token_emb.weight"
+
+
+@pytest.mark.parametrize("mode", ["im2col", "shift9"])
+def test_conv_mode_equivalence(mode, monkeypatch):
+    """FRIDO_CONV_MODE reformulations are the same math as the conv
+    emitter (the bench A/B flag must not change numerics), including
+    asymmetric padding and pass-through of non-3x3/strided cases."""
+    rng = np.random.RandomState(3)
+    mod = Conv2d(features=24, kernel_size=3, padding=1)
+    x = jnp.asarray(rng.randn(2, 8, 8, 12).astype(np.float32))
+    params = mod.init(jax.random.PRNGKey(0), x)
+    want = mod.apply(params, x)
+    monkeypatch.setenv("FRIDO_CONV_MODE", mode)
+    got = mod.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+    # asymmetric VQGAN downsample padding ((0,1),(0,1)) hits the same path
+    mod2 = Conv2d(features=24, kernel_size=3, padding=((0, 1), (0, 1)))
+    params2 = mod2.init(jax.random.PRNGKey(1), x)
+    monkeypatch.delenv("FRIDO_CONV_MODE")
+    want2 = mod2.apply(params2, x)
+    monkeypatch.setenv("FRIDO_CONV_MODE", mode)
+    got2 = mod2.apply(params2, x)
+    assert got2.shape == want2.shape
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               atol=1e-5, rtol=1e-5)
+    # strided conv falls back to the emitter path (shape sanity)
+    mod3 = Conv2d(features=24, kernel_size=3, stride=2, padding=1)
+    params3 = mod3.init(jax.random.PRNGKey(2), x)
+    assert mod3.apply(params3, x).shape == (2, 4, 4, 24)

@@ -10,6 +10,9 @@ from frido_tpu.models.frido import FridoDiffusion
 from frido_tpu.training.image_logger import ImageLogger
 from tests.test_training import TINY_COND, TINY_FIRST, TINY_UNET
 
+# <10-min tier: tools/pytest_cpu.sh -m fast (VERDICT r2 #7)
+pytestmark = pytest.mark.fast
+
 
 @pytest.fixture(scope="module")
 def tiny_model():

@@ -1,5 +1,10 @@
 """Eval metric sanity + closed-form checks (frido_tpu.eval.metrics)."""
 
+import pytest
+
+# <10-min tier: tools/pytest_cpu.sh -m fast (VERDICT r2 #7)
+pytestmark = pytest.mark.fast
+
 import numpy as np
 
 from frido_tpu.eval.metrics import (clip_score, inception_score,

@@ -13,8 +13,12 @@ from PIL import Image
 from frido_tpu.data import native_loader as nl
 from frido_tpu.data.transforms import ImagePipeline
 
-pytestmark = pytest.mark.skipif(
-    not nl.available(), reason="native loader unavailable (no g++/libjpeg)")
+pytestmark = [
+    pytest.mark.skipif(not nl.available(),
+                       reason="native loader unavailable (no g++/libjpeg)"),
+    # <10-min tier: tools/pytest_cpu.sh -m fast (VERDICT r2 #7)
+    pytest.mark.fast,
+]
 
 TOL = 2.5 / 127.5  # a little over one uint8 step in [-1, 1]
 

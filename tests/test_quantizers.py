@@ -1,5 +1,10 @@
 """Quantizer variants (GumbelQuantize / EMAVectorQuantizer) + remat step."""
 
+import pytest
+
+# <10-min tier: tools/pytest_cpu.sh -m fast (VERDICT r2 #7)
+pytestmark = pytest.mark.fast
+
 import jax
 import jax.numpy as jnp
 import numpy as np

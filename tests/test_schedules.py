@@ -11,6 +11,9 @@ from frido_tpu.schedules import (
 )
 from tests.conftest import requires_reference
 
+# <10-min tier: tools/pytest_cpu.sh -m fast (VERDICT r2 #7)
+pytestmark = pytest.mark.fast
+
 
 def test_linear_betas_shape_and_range():
     betas = make_beta_schedule("linear", 1000, 0.0015, 0.0155)

@@ -18,6 +18,9 @@ import pytest
 
 from frido_tpu.nn.pyunet import PyUNetModel
 
+# <10-min tier: tools/pytest_cpu.sh -m fast (VERDICT r2 #7)
+pytestmark = pytest.mark.fast
+
 BASE = dict(
     use_split_head=True, split_embed_dim_list=[4, 4], use_SPADE_norm=True,
     image_size=8, in_channels=8, out_channels=8, model_channels=32,

@@ -1,6 +1,11 @@
 """Tiled (fold/unfold) patched inference (frido_tpu.ops.tiling +
 FridoDiffusion.split_input_params)."""
 
+import pytest
+
+# <10-min tier: tools/pytest_cpu.sh -m fast (VERDICT r2 #7)
+pytestmark = pytest.mark.fast
+
 import jax
 import jax.numpy as jnp
 import numpy as np

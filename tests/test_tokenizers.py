@@ -17,6 +17,9 @@ from frido_tpu.text import ClipBPETokenizer, WordPieceTokenizer
 from frido_tpu.text.clip_bpe import bytes_to_unicode
 from frido_tpu.text.wordpiece import fallback_vocab
 
+# <10-min tier: tools/pytest_cpu.sh -m fast (VERDICT r2 #7)
+pytestmark = pytest.mark.fast
+
 CAPTIONS = [
     "A man riding a horse on the beach.",
     "Two dogs playing   with a red ball!!",
@@ -163,3 +166,91 @@ def test_bert_embedder_env_vocab(bert_vocab_file, monkeypatch):
     toks = emb.tokenize(["a man riding a horse"])
     ours = WordPieceTokenizer(bert_vocab_file)(["a man riding a horse"])
     assert np.array_equal(toks, ours)
+
+
+# ---------------------------------------------------------------------------
+# vendoring hook (frido_tpu.text.vendor) — VERDICT r2 task 5
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def vendor_tmp(tmp_path, monkeypatch):
+    """Redirect the vendored-assets dir to tmp so tests never write into
+    the repo tree."""
+    from frido_tpu.text import vendor
+
+    d = tmp_path / "vendored"
+    monkeypatch.setattr(vendor, "VENDOR_DIR", str(d))
+    monkeypatch.setattr(vendor, "MANIFEST", str(d / "MANIFEST.json"))
+    return vendor
+
+
+def test_vendor_bert_roundtrip(vendor_tmp, bert_vocab_file, monkeypatch):
+    vendor = vendor_tmp
+    p = vendor.vendor_bert(bert_vocab_file)
+    assert vendor.bert_vocab_path() == p
+    assert vendor.verify() == []
+    # the host tokenizer resolves the vendored copy with no env vars set
+    monkeypatch.delenv("FRIDO_TPU_BERT_VOCAB", raising=False)
+    monkeypatch.delenv("FRIDO_TPU_BERT_TOKENIZER", raising=False)
+    from frido_tpu.nn.encoders import BERTTokenizerHost
+
+    host = BERTTokenizerHost()
+    want = WordPieceTokenizer(bert_vocab_file)(["a man riding a horse"])
+    assert np.array_equal(host(["a man riding a horse"]), want)
+    # env var still takes precedence over the vendored copy
+    monkeypatch.setenv("FRIDO_TPU_BERT_VOCAB", bert_vocab_file)
+    assert np.array_equal(BERTTokenizerHost()(["two dogs"]),
+                          WordPieceTokenizer(bert_vocab_file)(["two dogs"]))
+
+
+def test_vendor_clip_roundtrip(vendor_tmp, clip_vocab_dir, monkeypatch):
+    vendor = vendor_tmp
+    v, m = vendor.vendor_clip(clip_vocab_dir + "/vocab.json",
+                              clip_vocab_dir + "/merges.txt")
+    assert vendor.clip_vocab_paths() == (v, m)
+    assert vendor.verify() == []
+    monkeypatch.delenv("FRIDO_TPU_CLIP_VOCAB", raising=False)
+    monkeypatch.delenv("FRIDO_TPU_CLIP_TOKENIZER", raising=False)
+    from frido_tpu.nn.encoders import CLIPTokenizerHost
+
+    host = CLIPTokenizerHost("openai/clip-vit-large-patch14")
+    want = ClipBPETokenizer(clip_vocab_dir + "/vocab.json",
+                            clip_vocab_dir + "/merges.txt")(["the dog"])
+    assert np.array_equal(host(["the dog"]), want)
+
+
+def test_vendor_verify_detects_drift(vendor_tmp, bert_vocab_file):
+    vendor = vendor_tmp
+    p = vendor.vendor_bert(bert_vocab_file)
+    with open(p, "a", encoding="utf-8") as f:
+        f.write("extra_token\n")
+    problems = vendor.verify()
+    assert problems and "drift" in problems[0]
+
+
+def test_vendor_rejects_non_vocab(vendor_tmp, tmp_path):
+    bad = tmp_path / "not_a_vocab.txt"
+    bad.write_text("just\nsome\nwords\n", encoding="utf-8")
+    with pytest.raises(ValueError, match="PAD"):
+        vendor_tmp.vendor_bert(str(bad))
+
+
+def test_vendor_cli(vendor_tmp, bert_vocab_file, capsys):
+    assert vendor_tmp.main([bert_vocab_file]) == 0
+    assert "vendored BERT" in capsys.readouterr().out
+    assert vendor_tmp.main(["--verify"]) == 0
+
+
+def test_explicit_tokenizer_env_failure_raises(monkeypatch):
+    """ADVICE r2: an explicitly requested tokenizer that fails to load must
+    raise, not silently fall back to checkpoint-incompatible ids."""
+    monkeypatch.setenv("FRIDO_TPU_BERT_TOKENIZER", "/no/such/tokenizer")
+    monkeypatch.delenv("FRIDO_TPU_BERT_VOCAB", raising=False)
+    from frido_tpu.nn.encoders import BERTTokenizerHost, CLIPTokenizerHost
+
+    with pytest.raises(RuntimeError, match="refusing"):
+        BERTTokenizerHost()
+    monkeypatch.setenv("FRIDO_TPU_CLIP_TOKENIZER", "/no/such/tokenizer")
+    monkeypatch.delenv("FRIDO_TPU_CLIP_VOCAB", raising=False)
+    with pytest.raises(RuntimeError, match="refusing"):
+        CLIPTokenizerHost("openai/clip-vit-large-patch14")

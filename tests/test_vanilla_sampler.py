@@ -1,5 +1,10 @@
 """Vanilla (full-T ancestral) sampling path (``frido.py:1391-1418``)."""
 
+import pytest
+
+# <10-min tier: tools/pytest_cpu.sh -m fast (VERDICT r2 #7)
+pytestmark = pytest.mark.fast
+
 import jax
 import jax.numpy as jnp
 import numpy as np

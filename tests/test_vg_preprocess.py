@@ -12,6 +12,9 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+# <10-min tier: tools/pytest_cpu.sh -m fast (VERDICT r2 #7)
+pytestmark = pytest.mark.fast
+
 REPO = Path(__file__).resolve().parents[1]
 
 
