@@ -37,10 +37,12 @@ def _conv_mode() -> str:
       ``conv``  (default) — XLA's conv emitter (conv_general_dilated)
       ``im2col``          — conv_general_dilated_patches + one matmul
       ``shift9``          — nine shifted [M, Cin] @ [Cin, Cout] dots
+      ``pallas``          — VMEM-resident shift9 Pallas kernel (one HBM
+                            read/write per call; ops/pallas/conv_pallas.py)
 
-    All three are the same math (tests/test_layers.py pins equivalence);
-    the env var exists so scripts/bench_conv_sites.py's per-site findings
-    can be validated end-to-end on the full pipeline with one flag.
+    All are the same math (tests/test_layers.py pins equivalence); the env
+    var exists so scripts/bench_conv_sites.py's per-site findings can be
+    validated end-to-end on the full pipeline with one flag.
     """
     import os
 
@@ -102,7 +104,22 @@ class Conv2d(nn.Module):
             pad = list(self.padding)
         dtype = self.dtype or x.dtype
         mode = _conv_mode()
-        if k == 3 and self.stride == 1 and mode != "conv":
+        if (mode == "pallas" and k == 3 and self.stride == 1
+                and pad == [(1, 1), (1, 1)]):
+            from frido_tpu.ops.pallas import use_pallas
+            from frido_tpu.ops.pallas.conv_pallas import (conv3x3_pallas,
+                                                          fits_pallas_conv)
+
+            xd = x.astype(dtype)
+            if use_pallas() and fits_pallas_conv(xd.shape, self.features):
+                bias = (self.param("bias", nn.initializers.zeros,
+                                   (self.features,))
+                        if self.use_bias else
+                        jnp.zeros((self.features,), dtype))
+                return conv3x3_pallas(xd, kernel.astype(dtype),
+                                      bias.astype(dtype))
+            mode = "conv"  # ineligible site: XLA emitter
+        if k == 3 and self.stride == 1 and mode not in ("conv", "pallas"):
             lower = {"im2col": _conv3x3_im2col, "shift9": _conv3x3_shift9}
             y = lower[mode](x.astype(dtype), kernel.astype(dtype), pad)
         else:

@@ -1,0 +1,146 @@
+"""3x3/stride-1 convolution as clean MXU dots (Pallas).
+
+Why: the UNet conv trunk is >=98% of sampling time at ~36% per-call MFU
+under XLA's conv emitter (docs/PERF.md). The arithmetic intensity of these
+sites is high (e.g. 87 GFLOP vs ~100 MB of activation traffic at the
+32^2 x 192 site, batch 128), so the emitter is compute/tiling-bound, not
+HBM-bound. This kernel reformulates the conv as nine shifted
+[M, Cin] @ [Cin, TN] matmuls accumulated in fp32 — the shift9 form — but
+unlike the XLA-level ``FRIDO_CONV_MODE=shift9`` (which re-reads the
+activation from HBM for every one of the nine dots) it keeps the whole
+padded sample block resident in VMEM: one HBM read of x, one write of y,
+nine MXU dots from VMEM.
+
+Grid: (batch tiles x Cout tiles). The x block depends only on the batch
+index, so consecutive Cout tiles reuse the resident block (Pallas skips
+the re-copy when the index map is unchanged). Weights are tiled over Cout
+so deep sites (e.g. 3x3x1920x960 = 33 MB bf16) fit VMEM.
+
+Eligibility (``fits_pallas_conv``): whole samples must fit VMEM alongside
+a weight tile — true for every UNet latent site (<= 32^2 spatial), false
+for the 256^2 VQGAN decoder tail, which stays on the XLA emitter.
+
+Backward: custom_vjp recomputing through ``lax.conv_general_dilated``'s
+VJP (the kernel targets the sampling hot path; training convs keep XLA's
+fused conv gradients).
+
+Reference hot loop this accelerates:
+``/root/reference/frido/modules/diffusionmodules/pyunet.py:166-300``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from frido_tpu.ops.pallas.dispatch import interpret_mode
+
+# VMEM working-set budget for (padded x block, fp32 accum, out block, w tile)
+_VMEM_BUDGET = 10 * 1024 * 1024
+_W_TILE_BUDGET = 4 * 1024 * 1024
+
+
+def _conv_kernel(x_ref, w_ref, b_ref, o_ref, *, h: int, w: int):
+    # pad in VMEM: blocks are whole samples, so no cross-block halo
+    xb = jnp.pad(x_ref[...], ((0, 0), (1, 1), (1, 1), (0, 0)))
+    bb = xb.shape[0]
+    cin = xb.shape[-1]
+    tn = w_ref.shape[-1]
+    acc = jnp.zeros((bb * h * w, tn), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            win = jax.lax.slice(
+                xb, (0, dy, dx, 0), (bb, dy + h, dx + w, cin))
+            acc = acc + jax.lax.dot_general(
+                win.reshape(bb * h * w, cin), w_ref[dy, dx],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    acc = acc + b_ref[0].astype(jnp.float32)[None, :]
+    o_ref[...] = acc.reshape(bb, h, w, tn).astype(o_ref.dtype)
+
+
+def _pick_tiles(b, h, w, cin, cout, itemsize):
+    """(bb, tn) sized to the VMEM budget; None if nothing fits."""
+    tn = cout
+    while 9 * cin * tn * itemsize > _W_TILE_BUDGET and tn % 2 == 0:
+        tn //= 2
+    if 9 * cin * tn * itemsize > _W_TILE_BUDGET:
+        return None
+    # per-sample: padded input + fp32 accum + output tile
+    per_sample = ((h + 2) * (w + 2) * cin * itemsize
+                  + h * w * tn * (4 + itemsize))
+    budget = _VMEM_BUDGET - 9 * cin * tn * itemsize
+    bb = max(1, min(b, budget // max(per_sample, 1)))
+    while b % bb:
+        bb -= 1
+    if per_sample * bb > budget:
+        return None
+    # MXU wants >= ~256 rows per dot; tiny spatial extents need bigger bb
+    if bb * h * w < 256 and bb < b:
+        return None
+    return bb, tn
+
+
+def fits_pallas_conv(shape, cout) -> bool:
+    b, h, w, cin = shape
+    itemsize = 2  # bf16 compute path; fp32 inputs also fit at these sites
+    return _pick_tiles(b, h, w, cin, cout, itemsize) is not None
+
+
+def _conv_forward(x, kernel, bias, interpret):
+    b, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    tiles = _pick_tiles(b, h, w, cin, cout, x.dtype.itemsize)
+    assert tiles is not None, "dispatch must check fits_pallas_conv"
+    bb, tn = tiles
+    out = pl.pallas_call(
+        functools.partial(_conv_kernel, h=h, w=w),
+        grid=(b // bb, cout // tn),
+        in_specs=[
+            # x depends only on the batch index -> stays resident across
+            # the Cout tiles of one batch block
+            pl.BlockSpec((bb, h, w, cin), lambda i, j: (i, 0, 0, 0)),
+            pl.BlockSpec((3, 3, cin, tn), lambda i, j: (0, 0, 0, j)),
+            pl.BlockSpec((1, tn), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bb, h, w, tn), lambda i, j: (i, 0, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, cout), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * w * 9 * cin * cout,
+            bytes_accessed=(x.size + b * h * w * cout + 9 * cin * cout)
+            * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, kernel.astype(x.dtype), bias.reshape(1, cout))
+    return out
+
+
+@jax.custom_vjp
+def conv3x3_pallas(x, kernel, bias):
+    """3x3 stride-1 pad-1 conv on NHWC via VMEM-resident shifted dots."""
+    return _conv_forward(x, kernel, bias, interpret=interpret_mode())
+
+
+def _reference_conv(x, kernel, bias):
+    y = jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), window_strides=(1, 1),
+        padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + bias.astype(y.dtype)
+
+
+def _conv_fwd(x, kernel, bias):
+    return conv3x3_pallas(x, kernel, bias), (x, kernel, bias)
+
+
+def _conv_bwd(res, g):
+    x, kernel, bias = res
+    _, vjp = jax.vjp(_reference_conv, x, kernel, bias)
+    return vjp(g)
+
+
+conv3x3_pallas.defvjp(_conv_fwd, _conv_bwd)

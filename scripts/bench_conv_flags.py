@@ -1,0 +1,77 @@
+"""XLA-flag and conv-mode sweep on the headline pipeline (VERDICT r2 #2d).
+
+Runs ``bench.py`` (in-process worker mode) in a fresh subprocess per
+configuration so each gets its own XLA_FLAGS, and prints one line per
+config. Each subprocess is bounded; a wedged tunnel fails the config
+rather than the sweep.
+
+Configs swept (edit CONFIGS for more):
+  * baseline (current defaults)
+  * FRIDO_CONV_MODE = shift9 / pallas (conv reformulations end-to-end)
+  * latency-hiding scheduler flag
+  * async-collectives off (single chip: should be neutral; sanity row)
+
+Usage: ``python scripts/bench_conv_flags.py [quick]`` — ``quick`` drops to
+50 steps / 1 repeat for a faster first pass (relative ordering holds; the
+winner should be re-run at full 200 steps).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CONFIGS = [
+    ("baseline", {}),
+    ("conv=shift9", {"FRIDO_CONV_MODE": "shift9"}),
+    ("conv=pallas", {"FRIDO_CONV_MODE": "pallas"}),
+    ("conv=im2col", {"FRIDO_CONV_MODE": "im2col"}),
+    ("latency-hiding-sched", {
+        "XLA_FLAGS": "--xla_tpu_enable_latency_hiding_scheduler=true"}),
+    ("pallas+lhs", {
+        "FRIDO_CONV_MODE": "pallas",
+        "XLA_FLAGS": "--xla_tpu_enable_latency_hiding_scheduler=true"}),
+]
+
+
+def main():
+    quick = "quick" in sys.argv[1:]
+    results = []
+    for name, extra in CONFIGS:
+        env = dict(os.environ, BENCH_INPROCESS="1")
+        if quick:
+            env.setdefault("BENCH_STEPS", "50")
+            env.setdefault("BENCH_REPEATS", "1")
+        base_flags = env.get("XLA_FLAGS", "")
+        for k, v in extra.items():
+            env[k] = (base_flags + " " + v).strip() if k == "XLA_FLAGS" else v
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py")], env=env,
+                timeout=float(os.environ.get("BENCH_TIMEOUT", "2400")),
+                capture_output=True, text=True, cwd=REPO)
+            line = next((l for l in reversed(r.stdout.strip().splitlines())
+                         if l.startswith("{")), None)
+            if r.returncode == 0 and line:
+                val = json.loads(line).get("value")
+                results.append((name, val))
+                print(f"{name:24s} {val} img/s", flush=True)
+                continue
+            tail = (r.stderr or r.stdout).strip().splitlines()[-2:]
+            print(f"{name:24s} FAILED rc={r.returncode}: {' | '.join(tail)}",
+                  flush=True)
+        except subprocess.TimeoutExpired:
+            print(f"{name:24s} TIMEOUT", flush=True)
+        results.append((name, None))
+    ok = [(n, v) for n, v in results if v]
+    if ok:
+        best = max(ok, key=lambda t: t[1])
+        print(f"best: {best[0]} at {best[1]} img/s")
+
+
+if __name__ == "__main__":
+    main()

@@ -91,6 +91,12 @@ def main():
         x = jax.random.normal(ks[0], (b, h, h, cin), dtype)
         w = jax.random.normal(ks[1], (3, 3, cin, cout), dtype) * 0.02
         fns = {"conv": conv, "im2col": im2col, "shift9": shift9}
+
+        from frido_tpu.ops.pallas.conv_pallas import (conv3x3_pallas,
+                                                      fits_pallas_conv)
+        if fits_pallas_conv(x.shape, cout):
+            zeros = jnp.zeros((cout,), dtype)
+            fns["pallas"] = lambda x_, w_: conv3x3_pallas(x_, w_, zeros)
         ref = None
         parts = []
         tflop = b * h * h * 9 * cin * cout * 2 / 1e12

@@ -178,3 +178,61 @@ def test_smalls_attention_multihead_layout_and_grads():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("shape,cout", [
+    ((2, 16, 16, 64), 64),     # square UNet-like site
+    ((2, 8, 8, 96), 32),       # Cout < Cin
+    ((4, 4, 4, 128), 256),     # tiny spatial, bb covers batch
+])
+def test_conv3x3_pallas_matches_reference(shape, cout):
+    from frido_tpu.ops.pallas.conv_pallas import (_reference_conv,
+                                                  conv3x3_pallas,
+                                                  fits_pallas_conv)
+
+    assert fits_pallas_conv(shape, cout)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    x = jax.random.normal(k1, shape, jnp.float32)
+    w = jax.random.normal(k2, (3, 3, shape[-1], cout), jnp.float32) * 0.05
+    b = jax.random.normal(k3, (cout,), jnp.float32)
+    got = np.asarray(conv3x3_pallas(x, w, b))
+    want = np.asarray(_reference_conv(x, w, b))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
+def test_conv3x3_pallas_gradients():
+    from frido_tpu.ops.pallas.conv_pallas import (_reference_conv,
+                                                  conv3x3_pallas)
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
+    x = jax.random.normal(k1, (2, 8, 8, 32), jnp.float32)
+    w = jax.random.normal(k2, (3, 3, 32, 32), jnp.float32) * 0.05
+    b = jax.random.normal(k3, (32,), jnp.float32)
+    g_got = jax.grad(lambda *a: conv3x3_pallas(*a).sum(), argnums=(0, 1, 2))(
+        x, w, b)
+    g_want = jax.grad(lambda *a: _reference_conv(*a).sum(),
+                      argnums=(0, 1, 2))(x, w, b)
+    for a, r in zip(g_got, g_want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=2e-4, rtol=2e-4)
+
+
+def test_conv_mode_pallas_on_conv2d(monkeypatch):
+    """FRIDO_CONV_MODE=pallas routes eligible Conv2d sites through the
+    kernel (interpret mode on CPU) and falls back on ineligible ones."""
+    from frido_tpu.nn.layers import Conv2d
+
+    monkeypatch.setenv("FRIDO_PALLAS", "interpret")
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 8, 8, 16).astype(np.float32))
+    mod = Conv2d(features=32, kernel_size=3, padding=1)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    want = mod.apply(params, x)
+    monkeypatch.setenv("FRIDO_CONV_MODE", "pallas")
+    got = mod.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+    # strided / non-pad-1 convs fall back to the emitter unchanged
+    mod2 = Conv2d(features=32, kernel_size=3, stride=2, padding=1)
+    params2 = mod2.init(jax.random.PRNGKey(1), x)
+    assert mod2.apply(params2, x).shape == (2, 4, 4, 32)
