@@ -39,6 +39,9 @@ def _conv_mode() -> str:
       ``shift9``          — nine shifted [M, Cin] @ [Cin, Cout] dots
       ``pallas``          — VMEM-resident shift9 Pallas kernel (one HBM
                             read/write per call; ops/pallas/conv_pallas.py)
+      ``pallas_fused``    — ``pallas`` plus the ResBlock prologue
+                            (GroupNorm -> SPADE modulation -> SiLU) folded
+                            into the conv kernel at eligible sites
 
     All are the same math (tests/test_layers.py pins equivalence); the env
     var exists so scripts/bench_conv_sites.py's per-site findings can be
@@ -92,7 +95,8 @@ class Conv2d(nn.Module):
     dtype: Dtype = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 fused_norm: dict | None = None) -> jnp.ndarray:
         k = self.kernel_size
         cin = x.shape[-1]
         init = (nn.initializers.zeros if self.zero_init else
@@ -104,6 +108,40 @@ class Conv2d(nn.Module):
             pad = list(self.padding)
         dtype = self.dtype or x.dtype
         mode = _conv_mode()
+        if fused_norm is not None:
+            # norm -> (SPADE) -> SiLU -> conv requested as one kernel
+            # (ResBlock prologue; see ops/pallas/conv_pallas.py)
+            from frido_tpu.ops.norm import group_norm_jnp
+            from frido_tpu.ops.pallas import use_pallas
+            from frido_tpu.ops.pallas.conv_pallas import (
+                conv3x3_norm_silu_pallas, fits_fused_conv)
+
+            gamma = fused_norm.get("gamma")
+            beta = fused_norm.get("beta")
+            xd = x.astype(dtype)
+            if (mode == "pallas_fused" and k == 3 and self.stride == 1
+                    and pad == [(1, 1), (1, 1)] and use_pallas()
+                    and fits_fused_conv(xd.shape, self.features,
+                                        gamma is not None)):
+                bias = (self.param("bias", nn.initializers.zeros,
+                                   (self.features,))
+                        if self.use_bias else
+                        jnp.zeros((self.features,), dtype))
+                return conv3x3_norm_silu_pallas(
+                    xd, kernel.astype(dtype), bias.astype(dtype),
+                    fused_norm["nscale"], fused_norm["nbias"],
+                    fused_norm["num_groups"], fused_norm["eps"],
+                    gamma=gamma, beta=beta)
+            # ineligible site (or non-fused mode): same math, unfused
+            xn = group_norm_jnp(x, fused_norm["nscale"], fused_norm["nbias"],
+                                num_groups=fused_norm["num_groups"],
+                                eps=fused_norm["eps"])
+            if gamma is not None:
+                xn = xn * (1.0 + gamma.astype(xn.dtype)) \
+                    + beta.astype(xn.dtype)
+            x = silu(xn)
+        if mode == "pallas_fused":
+            mode = "pallas"  # plain conv sites fall through to the kernel
         if (mode == "pallas" and k == 3 and self.stride == 1
                 and pad == [(1, 1), (1, 1)]):
             from frido_tpu.ops.pallas import use_pallas
@@ -244,11 +282,15 @@ class GroupNorm(nn.Module):
     eps: float = 1e-6
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray,
-                 fuse_silu: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, fuse_silu: bool = False,
+                 raw: bool = False):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
+        if raw:
+            # param accessor for fused norm+conv callers (Conv2d
+            # ``fused_norm``): creates the params without applying the norm
+            return scale, bias
         return group_norm(x, scale, bias, num_groups=self.num_groups,
                           eps=self.eps, fuse_silu=fuse_silu)
 

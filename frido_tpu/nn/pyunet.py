@@ -27,7 +27,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from frido_tpu.nn.layers import Conv1d, Conv2d, Dense, Embed, GroupNorm, silu
+from frido_tpu.nn.layers import (Conv1d, Conv2d, Dense, Embed, GroupNorm,
+                                 _conv_mode, silu)
 from frido_tpu.nn.spade import SPADE
 from frido_tpu.nn.transformer import SpatialTransformer, dot_attention
 from frido_tpu.ops.image import avg_pool_2x, interpolate_nearest_2x
@@ -126,6 +127,31 @@ class ResBlock(nn.Module):
             return silu(norm(x, feat_cond, pre))
         return norm(x, fuse_silu=True)
 
+    def _norm_silu_conv(self, norm, conv, x, feat_cond, pre=None):
+        """norm -> (SPADE modulation) -> SiLU -> conv. Under
+        FRIDO_CONV_MODE=pallas_fused the whole prologue is folded into the
+        conv's Pallas kernel (ops/pallas/conv_pallas.py); otherwise this is
+        exactly ``conv(self._norm_silu(...))``."""
+        if _conv_mode() != "pallas_fused":
+            return conv(self._norm_silu(norm, x, feat_cond, pre))
+        if self.use_spade:
+            nscale, nbias = norm.param_free_norm(x, raw=True)
+            if pre is not None:
+                gamma, beta = pre
+            elif feat_cond is not None:
+                gamma, beta = norm.gamma_beta(
+                    feat_cond, (x.shape[1], x.shape[2]))
+            else:
+                gamma = beta = None
+            eps, groups = norm.norm_eps, 32
+        else:
+            nscale, nbias = norm(x, raw=True)
+            gamma = beta = None
+            eps, groups = norm.eps, norm.num_groups
+        return conv(x, fused_norm=dict(
+            nscale=nscale, nbias=nbias, num_groups=groups, eps=eps,
+            gamma=gamma, beta=beta))
+
     def spade_tables(self, cond, hw):
         """Precomputed (gamma, beta) for both SPADE norms at this block's
         static resolutions (``hw`` is the input resolution; the out norm
@@ -152,18 +178,25 @@ class ResBlock(nn.Module):
             x = resample(x)
             h = self.in_conv(h)
         else:
-            h = self.in_conv(
-                self._norm_silu(self.in_norm, x, feat_cond, pre_in))
+            h = self._norm_silu_conv(self.in_norm, self.in_conv, x,
+                                     feat_cond, pre_in)
         emb_out = self.emb_proj(silu(emb)).astype(h.dtype)[:, None, None, :]
+        drop_active = self.dropout > 0 and not deterministic
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
             h = self._norm(self.out_norm, h, feat_cond, pre_out) \
                 * (1 + scale) + shift
             h = silu(h)
+        elif not drop_active:
+            # sampling / dropout-free: second prologue also fusable
+            return (self.skip(x) if self.out_channels != self.channels
+                    else x) + self._norm_silu_conv(
+                        self.out_norm, self.out_conv, h + emb_out,
+                        feat_cond, pre_out)
         else:
             h = self._norm_silu(self.out_norm, h + emb_out, feat_cond,
                                 pre_out)
-        if self.dropout > 0 and not deterministic:
+        if drop_active:
             h = nn.Dropout(rate=self.dropout, deterministic=False,
                            name="drop")(h)
         h = self.out_conv(h)

@@ -125,6 +125,214 @@ def conv3x3_pallas(x, kernel, bias):
     return _conv_forward(x, kernel, bias, interpret=interpret_mode())
 
 
+# ---------------------------------------------------------------------------
+# fused norm+SiLU+conv: the ResBlock prologue folded into the conv's
+# VMEM residency
+# ---------------------------------------------------------------------------
+#
+# Every UNet ResBlock conv is fed by GroupNorm (-> optional SPADE
+# modulation) -> SiLU (``/root/reference/frido/modules/diffusionmodules/
+# pyunet.py:178-186,209-233``; SPADE ``spade_norm.py:40-59``). Run
+# separately, that chain costs ~5 activation-sized HBM transfers per site
+# (norm write, modulate read+write, conv read, plus the gamma/beta reads);
+# each pallas block here holds *whole samples*, so the group statistics
+# are computable in-kernel and the whole prologue collapses into the one
+# HBM read of x the conv already does. Stats use the E[x^2]-E[x]^2 form in
+# fp32 via two [bb, Cin] @ [Cin, G] dots with a group-membership matrix
+# (reshaping the minor dim to (G, cg) does not lower well on Mosaic).
+
+
+def _fused_kernel(*refs, h: int, w: int, groups: int, eps: float,
+                  spade: bool):
+    if spade:
+        x_ref, nb_ref, g_ref, b2_ref, w_ref, b_ref, o_ref = refs
+    else:
+        x_ref, nb_ref, w_ref, b_ref, o_ref = refs
+    xb = x_ref[...].astype(jnp.float32)
+    bb, _, _, cin = xb.shape
+    cg = cin // groups
+    ch = jax.lax.broadcasted_iota(jnp.int32, (cin, groups), 0)
+    gr = jax.lax.broadcasted_iota(jnp.int32, (cin, groups), 1)
+    m = (ch // cg == gr).astype(jnp.float32)  # [Cin, G] group membership
+    cnt = h * w * cg
+    xs = jnp.sum(xb, axis=(1, 2))  # [bb, Cin]
+    xss = jnp.sum(xb * xb, axis=(1, 2))
+    mean_g = jax.lax.dot_general(
+        xs, m, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) / cnt
+    var_g = jax.lax.dot_general(
+        xss, m, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) / cnt - mean_g * mean_g
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    # broadcast per-group back to channels: [bb, G] @ [G, Cin]
+    mean_c = jax.lax.dot_general(
+        mean_g, m.T, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    rstd_c = jax.lax.dot_general(
+        rstd_g, m.T, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    nscale = nb_ref[0].astype(jnp.float32)
+    nbias = nb_ref[1].astype(jnp.float32)
+    xn = (xb - mean_c[:, None, None, :]) * rstd_c[:, None, None, :]
+    xn = xn * nscale + nbias
+    if spade:
+        xn = (xn * (1.0 + g_ref[...].astype(jnp.float32))
+              + b2_ref[...].astype(jnp.float32))
+    xn = xn * jax.nn.sigmoid(xn)  # SiLU in fp32, as GroupNorm32 computes
+    xn = xn.astype(o_ref.dtype)
+    xp = jnp.pad(xn, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    tn = w_ref.shape[-1]
+    acc = jnp.zeros((bb * h * w, tn), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            win = jax.lax.slice(xp, (0, dy, dx, 0), (bb, dy + h, dx + w, cin))
+            acc = acc + jax.lax.dot_general(
+                win.reshape(bb * h * w, cin), w_ref[dy, dx],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    acc = acc + b_ref[0].astype(jnp.float32)[None, :]
+    o_ref[...] = acc.reshape(bb, h, w, tn).astype(o_ref.dtype)
+
+
+def _pick_tiles_fused(b, h, w, cin, cout, itemsize, spade):
+    """(bb, tn) for the fused kernel; None if nothing fits."""
+    tn = cout
+    while 9 * cin * tn * itemsize > _W_TILE_BUDGET and tn % 2 == 0:
+        tn //= 2
+    if 9 * cin * tn * itemsize > _W_TILE_BUDGET:
+        return None
+    # per sample: raw x + fp32 normalized temp + padded bf16 + gamma/beta
+    # (if spade) + fp32 accum + out tile
+    per_sample = (h * w * cin * (itemsize + 4)
+                  + (h + 2) * (w + 2) * cin * itemsize
+                  + (2 * h * w * cin * itemsize if spade else 0)
+                  + h * w * tn * (4 + itemsize))
+    budget = _VMEM_BUDGET - 9 * cin * tn * itemsize
+    bb = max(1, min(b, budget // max(per_sample, 1)))
+    while b % bb:
+        bb -= 1
+    if per_sample * bb > budget:
+        return None
+    if bb * h * w < 256 and bb < b:
+        return None
+    return bb, tn
+
+
+def fits_fused_conv(shape, cout, spade) -> bool:
+    b, h, w, cin = shape
+    return _pick_tiles_fused(b, h, w, cin, cout, 2, spade) is not None
+
+
+def _fused_forward(x, kernel, bias, nscale, nbias, gamma, beta,
+                   num_groups, eps, interpret):
+    b, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    spade = gamma is not None
+    tiles = _pick_tiles_fused(b, h, w, cin, cout, x.dtype.itemsize, spade)
+    assert tiles is not None, "dispatch must check fits_fused_conv"
+    bb, tn = tiles
+    nb = jnp.stack([nscale, nbias]).astype(jnp.float32)  # [2, Cin]
+    operands = [x, nb]
+    in_specs = [
+        pl.BlockSpec((bb, h, w, cin), lambda i, j: (i, 0, 0, 0)),
+        pl.BlockSpec((2, cin), lambda i, j: (0, 0)),
+    ]
+    if spade:
+        operands += [gamma.astype(x.dtype), beta.astype(x.dtype)]
+        in_specs += [
+            pl.BlockSpec((bb, h, w, cin), lambda i, j: (i, 0, 0, 0)),
+            pl.BlockSpec((bb, h, w, cin), lambda i, j: (i, 0, 0, 0)),
+        ]
+    operands += [kernel.astype(x.dtype), bias.reshape(1, cout)]
+    in_specs += [
+        pl.BlockSpec((3, 3, cin, tn), lambda i, j: (0, 0, 0, j)),
+        pl.BlockSpec((1, tn), lambda i, j: (0, j)),
+    ]
+    return pl.pallas_call(
+        functools.partial(_fused_kernel, h=h, w=w, groups=num_groups,
+                          eps=eps, spade=spade),
+        grid=(b // bb, cout // tn),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bb, h, w, tn), lambda i, j: (i, 0, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, cout), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * w * 9 * cin * cout,
+            bytes_accessed=(x.size * (3 if spade else 1)
+                            + b * h * w * cout + 9 * cin * cout)
+            * x.dtype.itemsize,
+            transcendentals=b * h * w * cin,
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
+def _reference_fused(x, kernel, bias, nscale, nbias, gamma, beta,
+                     num_groups, eps):
+    from frido_tpu.ops.norm import group_norm_jnp
+
+    xn = group_norm_jnp(x, nscale, nbias, num_groups=num_groups, eps=eps)
+    if gamma is not None:
+        xn = (xn.astype(jnp.float32) * (1.0 + gamma.astype(jnp.float32))
+              + beta.astype(jnp.float32)).astype(x.dtype)
+    xn = jax.nn.silu(xn.astype(jnp.float32)).astype(x.dtype)
+    return _reference_conv(xn, kernel, bias)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused(num_groups: int, eps: float, spade: bool):
+    if spade:
+
+        @jax.custom_vjp
+        def fused(x, kernel, bias, nscale, nbias, gamma, beta):
+            return _fused_forward(x, kernel, bias, nscale, nbias, gamma,
+                                  beta, num_groups, eps, interpret_mode())
+
+        def fwd(x, kernel, bias, nscale, nbias, gamma, beta):
+            return (fused(x, kernel, bias, nscale, nbias, gamma, beta),
+                    (x, kernel, bias, nscale, nbias, gamma, beta))
+
+        def bwd(res, g):
+            def ref(x, kernel, bias, nscale, nbias, gamma, beta):
+                return _reference_fused(x, kernel, bias, nscale, nbias,
+                                        gamma, beta, num_groups, eps)
+
+            _, vjp = jax.vjp(ref, *res)
+            return vjp(g)
+
+    else:
+
+        @jax.custom_vjp
+        def fused(x, kernel, bias, nscale, nbias):
+            return _fused_forward(x, kernel, bias, nscale, nbias, None,
+                                  None, num_groups, eps, interpret_mode())
+
+        def fwd(x, kernel, bias, nscale, nbias):
+            return (fused(x, kernel, bias, nscale, nbias),
+                    (x, kernel, bias, nscale, nbias))
+
+        def bwd(res, g):
+            def ref(x, kernel, bias, nscale, nbias):
+                return _reference_fused(x, kernel, bias, nscale, nbias,
+                                        None, None, num_groups, eps)
+
+            _, vjp = jax.vjp(ref, *res)
+            return vjp(g)
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def conv3x3_norm_silu_pallas(x, kernel, bias, nscale, nbias, num_groups,
+                             eps, gamma=None, beta=None):
+    """GroupNorm (-> optional SPADE gamma/beta modulation) -> SiLU -> 3x3
+    conv as ONE Pallas kernel. ``gamma``/``beta`` are per-pixel [B,H,W,C]
+    modulation tables (both or neither)."""
+    fn = _make_fused(int(num_groups), float(eps), gamma is not None)
+    if gamma is not None:
+        return fn(x, kernel, bias, nscale, nbias, gamma, beta)
+    return fn(x, kernel, bias, nscale, nbias)
+
+
 def _reference_conv(x, kernel, bias):
     y = jax.lax.conv_general_dilated(
         x, kernel.astype(x.dtype), window_strides=(1, 1),

@@ -236,3 +236,88 @@ def test_conv_mode_pallas_on_conv2d(monkeypatch):
     mod2 = Conv2d(features=32, kernel_size=3, stride=2, padding=1)
     params2 = mod2.init(jax.random.PRNGKey(1), x)
     assert mod2.apply(params2, x).shape == (2, 4, 4, 32)
+
+
+@pytest.mark.parametrize("spade", [False, True])
+def test_conv3x3_fused_matches_reference(spade):
+    """GroupNorm (-> SPADE) -> SiLU -> conv as ONE kernel is the same math
+    as the chained reference ops (the ResBlock prologue,
+    /root/reference/frido/modules/diffusionmodules/pyunet.py:178-186)."""
+    from frido_tpu.ops.pallas.conv_pallas import (_reference_fused,
+                                                  conv3x3_norm_silu_pallas,
+                                                  fits_fused_conv)
+
+    shape, cout, groups = (2, 8, 8, 64), 32, 32
+    assert fits_fused_conv(shape, cout, spade)
+    ks = jax.random.split(jax.random.PRNGKey(2), 7)
+    x = jax.random.normal(ks[0], shape, jnp.float32)
+    w = jax.random.normal(ks[1], (3, 3, shape[-1], cout), jnp.float32) * 0.05
+    b = jax.random.normal(ks[2], (cout,), jnp.float32)
+    nscale = 1.0 + 0.1 * jax.random.normal(ks[3], (shape[-1],), jnp.float32)
+    nbias = 0.1 * jax.random.normal(ks[4], (shape[-1],), jnp.float32)
+    gamma = beta = None
+    if spade:
+        gamma = 0.2 * jax.random.normal(ks[5], shape, jnp.float32)
+        beta = 0.2 * jax.random.normal(ks[6], shape, jnp.float32)
+    got = np.asarray(conv3x3_norm_silu_pallas(
+        x, w, b, nscale, nbias, groups, 1e-5, gamma=gamma, beta=beta))
+    want = np.asarray(_reference_fused(x, w, b, nscale, nbias, gamma, beta,
+                                       groups, 1e-5))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
+def test_conv3x3_fused_gradients():
+    """The fused kernel's custom VJP (reference-chain bwd) matches
+    differentiating the chained ops directly, for every operand."""
+    from frido_tpu.ops.pallas.conv_pallas import (_reference_fused,
+                                                  conv3x3_norm_silu_pallas)
+
+    ks = jax.random.split(jax.random.PRNGKey(3), 5)
+    x = jax.random.normal(ks[0], (2, 4, 4, 32), jnp.float32)
+    w = jax.random.normal(ks[1], (3, 3, 32, 32), jnp.float32) * 0.05
+    b = jax.random.normal(ks[2], (32,), jnp.float32)
+    nscale = 1.0 + 0.1 * jax.random.normal(ks[3], (32,), jnp.float32)
+    nbias = 0.1 * jax.random.normal(ks[4], (32,), jnp.float32)
+    g_got = jax.grad(
+        lambda *a: conv3x3_norm_silu_pallas(*a, 32, 1e-5).sum(),
+        argnums=(0, 1, 2, 3, 4))(x, w, b, nscale, nbias)
+    g_want = jax.grad(
+        lambda *a: _reference_fused(*a, None, None, 32, 1e-5).sum(),
+        argnums=(0, 1, 2, 3, 4))(x, w, b, nscale, nbias)
+    for a, r in zip(g_got, g_want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("use_spade", [False, True])
+def test_conv_mode_pallas_fused_resblock(monkeypatch, use_spade):
+    """FRIDO_CONV_MODE=pallas_fused is a pure lowering change: identical
+    param tree and matching outputs on the real ResBlock, for plain and
+    SPADE norms, with and without precomputed SPADE tables."""
+    from frido_tpu.nn.pyunet import ResBlock
+
+    monkeypatch.setenv("FRIDO_PALLAS", "interpret")
+    monkeypatch.delenv("FRIDO_CONV_MODE", raising=False)
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 8, 8, 64).astype(np.float32))
+    emb = jnp.asarray(rng.randn(2, 128).astype(np.float32))
+    cond = (jnp.asarray(rng.randn(2, 4, 4, 16).astype(np.float32))
+            if use_spade else None)
+    blk = ResBlock(channels=64, out_channels=32, use_spade=use_spade)
+    params = blk.init(jax.random.PRNGKey(0), x, emb, cond)
+    want = blk.apply(params, x, emb, cond)
+    monkeypatch.setenv("FRIDO_CONV_MODE", "pallas_fused")
+    params_fused = blk.init(jax.random.PRNGKey(0), x, emb, cond)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params_fused))
+    got = blk.apply(params, x, emb, cond)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+    if use_spade:
+        # precomputed-table sampling path (spade_pre) hits the fused kernel
+        pre = blk.apply(params, cond, (8, 8), method=ResBlock.spade_tables)
+        want_pre = blk.apply(params, x, emb, None, True, pre)
+        monkeypatch.delenv("FRIDO_CONV_MODE")
+        ref_pre = blk.apply(params, x, emb, None, True, pre)
+        np.testing.assert_allclose(np.asarray(want_pre), np.asarray(ref_pre),
+                                   atol=2e-4, rtol=2e-4)
