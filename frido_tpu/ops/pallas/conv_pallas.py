@@ -38,8 +38,13 @@ from jax.experimental import pallas as pl
 
 from frido_tpu.ops.pallas.dispatch import interpret_mode
 
-# VMEM working-set budget for (padded x block, fp32 accum, out block, w tile)
-_VMEM_BUDGET = 10 * 1024 * 1024
+# VMEM working-set budget. v5e scoped-vmem limit is 16 MiB per kernel; the
+# model below must cover pipeline double-buffering of every in/out block
+# (Mosaic keeps 2 copies of each to overlap HBM copies with compute) PLUS
+# the kernel-body scratch (padded x copy, fp32 accum). First real-chip run
+# measured 16.83M actual vs the old 10M model at (128,16,16,384)->384 —
+# the model, not the chip, was wrong.
+_VMEM_BUDGET = 12 * 1024 * 1024
 _W_TILE_BUDGET = 4 * 1024 * 1024
 
 
@@ -62,26 +67,46 @@ def _conv_kernel(x_ref, w_ref, b_ref, o_ref, *, h: int, w: int):
     o_ref[...] = acc.reshape(bb, h, w, tn).astype(o_ref.dtype)
 
 
+def _tn_options(cout):
+    """Mosaic-legal (cout_padded, tn) candidates, most-preferred first.
+
+    The Mosaic lowering requires the last dim of every block be a multiple
+    of 128 or the full array dim (first real-chip run rejected tn=288 at
+    the 576-wide site). Preference: full width unpadded (no wasted FLOPs,
+    weight tile stays resident longest), then 128-multiple tiles of the
+    128-rounded width, largest first.
+    """
+    opts = [(cout, cout)]
+    cp = -(-cout // 128) * 128
+    for k in range(cp // 128, 0, -1):
+        t = k * 128
+        if cp % t == 0 and (cp, t) != (cout, cout):
+            opts.append((cp, t))
+    return opts
+
+
 def _pick_tiles(b, h, w, cin, cout, itemsize):
-    """(bb, tn) sized to the VMEM budget; None if nothing fits."""
-    tn = cout
-    while 9 * cin * tn * itemsize > _W_TILE_BUDGET and tn % 2 == 0:
-        tn //= 2
-    if 9 * cin * tn * itemsize > _W_TILE_BUDGET:
-        return None
-    # per-sample: padded input + fp32 accum + output tile
-    per_sample = ((h + 2) * (w + 2) * cin * itemsize
-                  + h * w * tn * (4 + itemsize))
-    budget = _VMEM_BUDGET - 9 * cin * tn * itemsize
-    bb = max(1, min(b, budget // max(per_sample, 1)))
-    while b % bb:
-        bb -= 1
-    if per_sample * bb > budget:
-        return None
-    # MXU wants >= ~256 rows per dot; tiny spatial extents need bigger bb
-    if bb * h * w < 256 and bb < b:
-        return None
-    return bb, tn
+    """(bb, tn, cout_padded) sized to the VMEM budget; None if no fit."""
+    for cp, tn in _tn_options(cout):
+        if 9 * cin * tn * itemsize > _W_TILE_BUDGET:
+            continue
+        # per-sample: x block + out block (double-buffered by the
+        # pipeline), padded-x scratch, fp32 accum
+        per_sample = (2 * h * w * cin * itemsize
+                      + (h + 2) * (w + 2) * cin * itemsize
+                      + h * w * tn * (4 + 2 * itemsize))
+        budget = _VMEM_BUDGET - 2 * 9 * cin * tn * itemsize
+        bb = max(1, min(b, budget // max(per_sample, 1)))
+        while b % bb:
+            bb -= 1
+        if per_sample * bb > budget:
+            continue
+        # MXU wants >= ~256 rows per dot; tiny spatial extents need
+        # bigger bb
+        if bb * h * w < 256 and bb < b:
+            continue
+        return bb, tn, cp
+    return None
 
 
 def fits_pallas_conv(shape, cout) -> bool:
@@ -90,15 +115,24 @@ def fits_pallas_conv(shape, cout) -> bool:
     return _pick_tiles(b, h, w, cin, cout, itemsize) is not None
 
 
+def _pad_cout(kernel, bias, cout, cp):
+    """Zero-pad kernel/bias Cout -> cp (Mosaic tile legality)."""
+    if cp == cout:
+        return kernel, bias
+    return (jnp.pad(kernel, ((0, 0), (0, 0), (0, 0), (0, cp - cout))),
+            jnp.pad(bias, ((0, cp - cout),)))
+
+
 def _conv_forward(x, kernel, bias, interpret):
     b, h, w, cin = x.shape
     cout = kernel.shape[-1]
     tiles = _pick_tiles(b, h, w, cin, cout, x.dtype.itemsize)
     assert tiles is not None, "dispatch must check fits_pallas_conv"
-    bb, tn = tiles
+    bb, tn, cp = tiles
+    kernel, bias = _pad_cout(kernel, bias, cout, cp)
     out = pl.pallas_call(
         functools.partial(_conv_kernel, h=h, w=w),
-        grid=(b // bb, cout // tn),
+        grid=(b // bb, cp // tn),
         in_specs=[
             # x depends only on the batch index -> stays resident across
             # the Cout tiles of one batch block
@@ -107,16 +141,16 @@ def _conv_forward(x, kernel, bias, interpret):
             pl.BlockSpec((1, tn), lambda i, j: (0, j)),
         ],
         out_specs=pl.BlockSpec((bb, h, w, tn), lambda i, j: (i, 0, 0, j)),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, cout), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, cp), x.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * h * w * 9 * cin * cout,
-            bytes_accessed=(x.size + b * h * w * cout + 9 * cin * cout)
+            flops=2 * b * h * w * 9 * cin * cp,
+            bytes_accessed=(x.size + b * h * w * cp + 9 * cin * cp)
             * x.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, kernel.astype(x.dtype), bias.reshape(1, cout))
-    return out
+    )(x, kernel.astype(x.dtype), bias.reshape(1, cp))
+    return out[..., :cout] if cp != cout else out
 
 
 @jax.custom_vjp
@@ -195,27 +229,28 @@ def _fused_kernel(*refs, h: int, w: int, groups: int, eps: float,
 
 
 def _pick_tiles_fused(b, h, w, cin, cout, itemsize, spade):
-    """(bb, tn) for the fused kernel; None if nothing fits."""
-    tn = cout
-    while 9 * cin * tn * itemsize > _W_TILE_BUDGET and tn % 2 == 0:
-        tn //= 2
-    if 9 * cin * tn * itemsize > _W_TILE_BUDGET:
-        return None
-    # per sample: raw x + fp32 normalized temp + padded bf16 + gamma/beta
-    # (if spade) + fp32 accum + out tile
-    per_sample = (h * w * cin * (itemsize + 4)
-                  + (h + 2) * (w + 2) * cin * itemsize
-                  + (2 * h * w * cin * itemsize if spade else 0)
-                  + h * w * tn * (4 + itemsize))
-    budget = _VMEM_BUDGET - 9 * cin * tn * itemsize
-    bb = max(1, min(b, budget // max(per_sample, 1)))
-    while b % bb:
-        bb -= 1
-    if per_sample * bb > budget:
-        return None
-    if bb * h * w < 256 and bb < b:
-        return None
-    return bb, tn
+    """(bb, tn, cout_padded) for the fused kernel; None if no fit."""
+    for cp, tn in _tn_options(cout):
+        if 9 * cin * tn * itemsize > _W_TILE_BUDGET:
+            continue
+        # per sample: x block + gamma/beta blocks (if spade) + out block,
+        # all double-buffered by the pipeline; fp32 normalized temp +
+        # padded bf16 copy + fp32 accum as kernel scratch
+        per_sample = (2 * h * w * cin * itemsize
+                      + h * w * cin * 4
+                      + (h + 2) * (w + 2) * cin * itemsize
+                      + (4 * h * w * cin * itemsize if spade else 0)
+                      + h * w * tn * (4 + 2 * itemsize))
+        budget = _VMEM_BUDGET - 2 * 9 * cin * tn * itemsize
+        bb = max(1, min(b, budget // max(per_sample, 1)))
+        while b % bb:
+            bb -= 1
+        if per_sample * bb > budget:
+            continue
+        if bb * h * w < 256 and bb < b:
+            continue
+        return bb, tn, cp
+    return None
 
 
 def fits_fused_conv(shape, cout, spade) -> bool:
@@ -230,7 +265,8 @@ def _fused_forward(x, kernel, bias, nscale, nbias, gamma, beta,
     spade = gamma is not None
     tiles = _pick_tiles_fused(b, h, w, cin, cout, x.dtype.itemsize, spade)
     assert tiles is not None, "dispatch must check fits_fused_conv"
-    bb, tn = tiles
+    bb, tn, cp = tiles
+    kernel, bias = _pad_cout(kernel, bias, cout, cp)
     nb = jnp.stack([nscale, nbias]).astype(jnp.float32)  # [2, Cin]
     operands = [x, nb]
     in_specs = [
@@ -243,27 +279,28 @@ def _fused_forward(x, kernel, bias, nscale, nbias, gamma, beta,
             pl.BlockSpec((bb, h, w, cin), lambda i, j: (i, 0, 0, 0)),
             pl.BlockSpec((bb, h, w, cin), lambda i, j: (i, 0, 0, 0)),
         ]
-    operands += [kernel.astype(x.dtype), bias.reshape(1, cout)]
+    operands += [kernel.astype(x.dtype), bias.reshape(1, cp)]
     in_specs += [
         pl.BlockSpec((3, 3, cin, tn), lambda i, j: (0, 0, 0, j)),
         pl.BlockSpec((1, tn), lambda i, j: (0, j)),
     ]
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_fused_kernel, h=h, w=w, groups=num_groups,
                           eps=eps, spade=spade),
-        grid=(b // bb, cout // tn),
+        grid=(b // bb, cp // tn),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bb, h, w, tn), lambda i, j: (i, 0, 0, j)),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, cout), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, cp), x.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * h * w * 9 * cin * cout,
+            flops=2 * b * h * w * 9 * cin * cp,
             bytes_accessed=(x.size * (3 if spade else 1)
-                            + b * h * w * cout + 9 * cin * cout)
+                            + b * h * w * cp + 9 * cin * cp)
             * x.dtype.itemsize,
             transcendentals=b * h * w * cin,
         ),
         interpret=interpret,
     )(*operands)
+    return out[..., :cout] if cp != cout else out
 
 
 def _reference_fused(x, kernel, bias, nscale, nbias, gamma, beta,

@@ -30,6 +30,7 @@ CONFIGS = [
     ("conv=shift9", {"FRIDO_CONV_MODE": "shift9"}),
     ("conv=pallas", {"FRIDO_CONV_MODE": "pallas"}),
     ("conv=im2col", {"FRIDO_CONV_MODE": "im2col"}),
+    ("conv=pallas_fused", {"FRIDO_CONV_MODE": "pallas_fused"}),
     ("latency-hiding-sched", {
         "XLA_FLAGS": "--xla_tpu_enable_latency_hiding_scheduler=true"}),
     ("pallas+lhs", {

@@ -39,7 +39,12 @@ SITES = [
     ("lvl2  8^2 576->576", 128, 8, 576, 576),
     ("lvl3  4^2 960->960", 128, 4, 960, 960),
     ("up0  32^2 384->192", 128, 32, 384, 192),
+    ("up1  16^2 768->384", 128, 16, 768, 384),
+    ("up2   8^2 1152->576", 128, 8, 1152, 576),
     ("up3   4^2 1920->960", 128, 4, 1920, 960),
+    ("skip 32^2 576->192", 128, 32, 576, 192),
+    ("down 16^2 192->384", 128, 16, 192, 384),
+    ("down  8^2 384->576", 128, 8, 384, 576),
 ]
 ITERS = 30
 
@@ -91,6 +96,22 @@ def main():
         x = jax.random.normal(ks[0], (b, h, h, cin), dtype)
         w = jax.random.normal(ks[1], (3, 3, cin, cout), dtype) * 0.02
         fns = {"conv": conv, "im2col": im2col, "shift9": shift9}
+        # channel rounding to MXU-tile multiples (VERDICT r2 #2b):
+        # zero-pad Cin/Cout to a quantum and slice back — measures whether
+        # XLA's conv emitter tiles the rounded widths better.
+        def make_convpad(q, _co=cout):
+            def convpad(x_, w_):
+                ci = x_.shape[-1]
+                cip = (-ci) % q
+                cop = (-_co) % q
+                xpad = jnp.pad(x_, ((0, 0),) * 3 + ((0, cip),))
+                wpad = jnp.pad(w_, ((0, 0), (0, 0), (0, cip), (0, cop)))
+                return conv(xpad, wpad)[..., :_co]
+            return convpad
+        if cin % 128 or cout % 128:
+            fns["convpad128"] = make_convpad(128)
+        if cin % 256 or cout % 256:
+            fns["convpad256"] = make_convpad(256)
 
         from frido_tpu.ops.pallas.conv_pallas import (conv3x3_pallas,
                                                       fits_pallas_conv)
@@ -112,6 +133,32 @@ def main():
             t = timed(jfn, x, w)
             parts.append(f"{name} {t:6.3f} ms ({tflop / t * 1e3:5.1f} TF/s)")
         print(f"{label:22s} " + "  ".join(parts), flush=True)
+
+        # ResBlock prologue at this site: GN -> SiLU -> conv chained (XLA)
+        # vs the single fused Pallas kernel (FRIDO_CONV_MODE=pallas_fused).
+        from frido_tpu.ops.norm import group_norm_jnp
+        from frido_tpu.ops.pallas.conv_pallas import (
+            conv3x3_norm_silu_pallas, fits_fused_conv)
+        if not fits_fused_conv(x.shape, cout, False):
+            continue
+        nscale = jnp.ones((cin,), dtype)
+        nbias = jnp.zeros((cin,), dtype)
+        zeros = jnp.zeros((cout,), dtype)
+
+        def chained(x_, w_):
+            xn = group_norm_jnp(x_, nscale, nbias, num_groups=32, eps=1e-5)
+            return conv(jax.nn.silu(xn), w_)
+
+        def fused(x_, w_):
+            return conv3x3_norm_silu_pallas(x_, w_, zeros, nscale, nbias,
+                                            32, 1e-5)
+        parts = []
+        for name, fn in (("gn+silu+conv", chained), ("fused", fused)):
+            jfn = jax.jit(fn)
+            jfn(x, w)
+            t = timed(jfn, x, w)
+            parts.append(f"{name} {t:6.3f} ms ({tflop / t * 1e3:5.1f} TF/s)")
+        print(f"{'':22s} " + "  ".join(parts), flush=True)
 
 
 if __name__ == "__main__":
