@@ -13,6 +13,7 @@ Parameter shapes are chosen for TPU friendliness; the torch importer
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Sequence
 
 import flax.linen as nn
@@ -37,11 +38,18 @@ def _conv_mode() -> str:
       ``conv``  (default) — XLA's conv emitter (conv_general_dilated)
       ``im2col``          — conv_general_dilated_patches + one matmul
       ``shift9``          — nine shifted [M, Cin] @ [Cin, Cout] dots
+      ``pad128``/``pad256`` — zero-pad Cin/Cout to the next multiple of
+                            128/256, run the conv emitter, slice back
+                            (MXU-tile channel rounding; same value — the
+                            padded channels contribute exact zeros)
       ``pallas``          — VMEM-resident shift9 Pallas kernel (one HBM
                             read/write per call; ops/pallas/conv_pallas.py)
       ``pallas_fused``    — ``pallas`` plus the ResBlock prologue
                             (GroupNorm -> SPADE modulation -> SiLU) folded
                             into the conv kernel at eligible sites
+      ``auto``            — per-site winner from the measured v5e dispatch
+                            table (``_AUTO_TABLE`` below); unmeasured
+                            shapes use the conv emitter
 
     All are the same math (tests/test_layers.py pins equivalence); the env
     var exists so scripts/bench_conv_sites.py's per-site findings can be
@@ -50,6 +58,58 @@ def _conv_mode() -> str:
     import os
 
     return os.environ.get("FRIDO_CONV_MODE", "conv")
+
+
+# Measured per-site winners, scripts/bench_conv_sites.py on the real v5e
+# chip (2026-08-19, bf16, batch 128, h=w): keyed (h, cin, cout). Notable:
+# channel rounding is a 2.1x at the 4^2x960 trunk site (15->31 TF/s) and
+# the Pallas kernel a 2.1x at the 8^2 1152->576 up-concat; XLA's emitter
+# stays ahead at 32^2 576->192 and 8^2 384->576, so no single mode
+# dominates — hence a table, like the attention dispatch. Pallas rows are
+# gated on batch >= 64 (table measured at 128; tiny-batch training shapes
+# were not measured, and the emitter is the safe default there).
+_AUTO_TABLE = {
+    (32, 192, 192): "pad128",   # 1.63 vs 1.89 ms
+    (16, 384, 384): "pallas",   # 1.36 vs 1.49
+    (8, 576, 576): "pad128",    # 1.29 vs 1.41
+    (4, 960, 960): "pad128",    # 1.08 vs 2.27
+    (32, 384, 192): "pad128",   # 2.00 vs 2.36
+    (16, 768, 384): "pallas",   # 2.04 vs 2.11
+    (8, 1152, 576): "pallas",   # 1.79 vs 3.71
+    (4, 1920, 960): "pad128",   # 1.30 vs 1.52
+    (32, 576, 192): "conv",     # emitter wins (2.43 vs pad 3.02)
+    (16, 192, 384): "pad128",   # 1.51 vs 2.31
+    (8, 384, 576): "conv",      # emitter wins (1.44 vs pad 3.12)
+}
+
+
+def _auto_conv_mode(shape, cout: int) -> str:
+    b, h, w, cin = shape
+    if h != w:
+        return "conv"
+    mode = _AUTO_TABLE.get((h, cin, cout), "conv")
+    if mode == "pallas" and b < 64:
+        return "conv"
+    return mode
+
+
+def _conv3x3_padq(x, kernel, pad, q):
+    """Conv with Cin/Cout zero-rounded to multiples of ``q``.
+
+    Bit-identical math: padded input channels multiply zero kernel rows
+    and padded output channels are sliced off, so the only change is how
+    XLA tiles the (now MXU-aligned) channel dims.
+    """
+    cin, cout = kernel.shape[2], kernel.shape[3]
+    cip, cop = (-cin) % q, (-cout) % q
+    if cip:
+        x = jnp.pad(x, ((0, 0),) * 3 + ((0, cip),))
+    if cip or cop:
+        kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, cip), (0, cop)))
+    y = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1), padding=pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y[..., :cout] if cop else y
 
 
 def _conv3x3_im2col(x, kernel, pad):
@@ -142,6 +202,10 @@ class Conv2d(nn.Module):
             x = silu(xn)
         if mode == "pallas_fused":
             mode = "pallas"  # plain conv sites fall through to the kernel
+        if mode == "auto":
+            mode = (_auto_conv_mode(x.shape, self.features)
+                    if k == 3 and self.stride == 1
+                    and pad == [(1, 1), (1, 1)] else "conv")
         if (mode == "pallas" and k == 3 and self.stride == 1
                 and pad == [(1, 1), (1, 1)]):
             from frido_tpu.ops.pallas import use_pallas
@@ -158,7 +222,9 @@ class Conv2d(nn.Module):
                                       bias.astype(dtype))
             mode = "conv"  # ineligible site: XLA emitter
         if k == 3 and self.stride == 1 and mode not in ("conv", "pallas"):
-            lower = {"im2col": _conv3x3_im2col, "shift9": _conv3x3_shift9}
+            lower = {"im2col": _conv3x3_im2col, "shift9": _conv3x3_shift9,
+                     "pad128": functools.partial(_conv3x3_padq, q=128),
+                     "pad256": functools.partial(_conv3x3_padq, q=256)}
             y = lower[mode](x.astype(dtype), kernel.astype(dtype), pad)
         else:
             y = jax.lax.conv_general_dilated(

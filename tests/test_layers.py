@@ -159,7 +159,7 @@ def test_path_to_torch_key():
     assert flax_path_to_torch_key(("token_emb", "embedding")) == "token_emb.weight"
 
 
-@pytest.mark.parametrize("mode", ["im2col", "shift9"])
+@pytest.mark.parametrize("mode", ["im2col", "shift9", "pad128", "pad256"])
 def test_conv_mode_equivalence(mode, monkeypatch):
     """FRIDO_CONV_MODE reformulations are the same math as the conv
     emitter (the bench A/B flag must not change numerics), including
@@ -187,3 +187,30 @@ def test_conv_mode_equivalence(mode, monkeypatch):
     mod3 = Conv2d(features=24, kernel_size=3, stride=2, padding=1)
     params3 = mod3.init(jax.random.PRNGKey(2), x)
     assert mod3.apply(params3, x).shape == (2, 4, 4, 24)
+
+
+def test_conv_auto_mode(monkeypatch):
+    """FRIDO_CONV_MODE=auto routes measured sites through the per-site
+    table (frido_tpu.nn.layers._AUTO_TABLE) and leaves everything else on
+    the conv emitter — same values either way."""
+    from frido_tpu.nn.layers import _auto_conv_mode
+
+    # table routing: a pad128 site, a pallas site (gated on batch), a
+    # conv-wins site, and an unmeasured fallback
+    assert _auto_conv_mode((128, 4, 4, 960), 960) == "pad128"
+    assert _auto_conv_mode((128, 16, 16, 384), 384) == "pallas"
+    assert _auto_conv_mode((8, 16, 16, 384), 384) == "conv"  # tiny batch
+    assert _auto_conv_mode((128, 32, 32, 576), 192) == "conv"
+    assert _auto_conv_mode((128, 5, 7, 960), 960) == "conv"  # h != w
+    assert _auto_conv_mode((2, 8, 8, 12), 24) == "conv"
+
+    # numerics through a real table hit (8^2 x 576 -> 576 => pad128)
+    rng = np.random.RandomState(5)
+    mod = Conv2d(features=576, kernel_size=3, padding=1)
+    x = jnp.asarray(rng.randn(1, 8, 8, 576).astype(np.float32))
+    params = mod.init(jax.random.PRNGKey(0), x)
+    want = mod.apply(params, x)
+    monkeypatch.setenv("FRIDO_CONV_MODE", "auto")
+    got = mod.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
