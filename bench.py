@@ -192,6 +192,25 @@ def run_bench() -> dict:
         # from README.md:242 ("within 1 hour"), so this is an UPPER bound
         # on the true multiple — see module docstring.
         "vs_baseline": round(ips / V100_EST_IMG_PER_S, 3),
+        # provenance: the resolved configuration this number was measured
+        # under (VERDICT r3 #3 — bench artifacts must be self-describing)
+        "config": {
+            "batch": batch,
+            "steps": steps,
+            "sampler": sampler,
+            "cfg_mode": os.environ.get("BENCH_CFG_MODE", "sequential"),
+            # resolved through layers._conv_mode() so the recorded value
+            # tracks the library default, not just the env override
+            "conv_mode": __import__(
+                "frido_tpu.nn.layers", fromlist=["_conv_mode"]
+            )._conv_mode(),
+            "pallas": os.environ.get("FRIDO_PALLAS", "1"),
+            "decode_chunk": decode_chunk,
+            "repeats": repeats,
+            "times_s": [round(t, 3) for t in times],
+            "backend": jax.default_backend(),
+            "xla_flags": os.environ.get("XLA_FLAGS", ""),
+        },
     }
 
 

@@ -48,8 +48,10 @@ def _conv_mode() -> str:
                             (GroupNorm -> SPADE modulation -> SiLU) folded
                             into the conv kernel at eligible sites
       ``auto``            — per-site winner from the measured v5e dispatch
-                            table (``_AUTO_TABLE`` below); unmeasured
-                            shapes use the conv emitter
+                            table (``_AUTO_TABLE`` below); at ResBlock
+                            prologue sites listed in ``_AUTO_FUSED_TABLE``
+                            it runs the fused GN/SPADE/SiLU+conv kernel;
+                            unmeasured shapes use the conv emitter
 
     All are the same math (tests/test_layers.py pins equivalence); the env
     var exists so scripts/bench_conv_sites.py's per-site findings can be
@@ -61,25 +63,43 @@ def _conv_mode() -> str:
 
 
 # Measured per-site winners, scripts/bench_conv_sites.py on the real v5e
-# chip (2026-08-19, bf16, batch 128, h=w): keyed (h, cin, cout). Notable:
-# channel rounding is a 2.1x at the 4^2x960 trunk site (15->31 TF/s) and
-# the Pallas kernel a 2.1x at the 8^2 1152->576 up-concat; XLA's emitter
-# stays ahead at 32^2 576->192 and 8^2 384->576, so no single mode
-# dominates — hence a table, like the attention dispatch. Pallas rows are
-# gated on batch >= 64 (table measured at 128; tiny-batch training shapes
-# were not measured, and the emitter is the safe default there).
+# chip (bf16, batch 128, h=w): keyed (h, cin, cout). Built from TWO chip
+# sessions (round 3 and docs/r4_chip/conv_sites_b128.txt, 2026-08-19);
+# only winners that were consistent across both sessions keep a non-conv
+# row — sites whose winner flipped between sessions (32^2 192->192,
+# 8^2 576->576, 8^2 1152->576) run the emitter, since a flip means the
+# margin is inside run-to-run variance. The stable wins: channel rounding
+# to 256 is a 2.6x at the 4^2x960 trunk site (3.07 -> 1.19 ms) and 1.8x
+# at 4^2 1920->960, and the Pallas kernel wins all three measured 16^2
+# sites by 8-17%. Pallas rows are gated on batch >= 64 (table measured
+# at 128; tiny-batch training shapes were not measured, and the emitter
+# is the safe default there). pad rows apply at any batch/dtype: the
+# channel-rounding win comes from MXU tile alignment of the Cin/Cout
+# dims, which batch does not change — validated at batch 8/16 by
+# scripts/bench_conv_sites.py --batch (see docs/PERF.md training table).
 _AUTO_TABLE = {
-    (32, 192, 192): "pad128",   # 1.63 vs 1.89 ms
-    (16, 384, 384): "pallas",   # 1.36 vs 1.49
-    (8, 576, 576): "pad128",    # 1.29 vs 1.41
-    (4, 960, 960): "pad128",    # 1.08 vs 2.27
-    (32, 384, 192): "pad128",   # 2.00 vs 2.36
-    (16, 768, 384): "pallas",   # 2.04 vs 2.11
-    (8, 1152, 576): "pallas",   # 1.79 vs 3.71
-    (4, 1920, 960): "pad128",   # 1.30 vs 1.52
-    (32, 576, 192): "conv",     # emitter wins (2.43 vs pad 3.02)
-    (16, 192, 384): "pad128",   # 1.51 vs 2.31
-    (8, 384, 576): "conv",      # emitter wins (1.44 vs pad 3.12)
+    (16, 384, 384): "pallas",   # 1.299 vs conv 1.527 ms (r4: consistent)
+    (4, 960, 960): "pad256",    # 1.194 vs conv 3.069 (2.6x, both rounds)
+    (32, 384, 192): "pad128",   # 1.928 vs conv 2.069 (both rounds)
+    (16, 768, 384): "pallas",   # 1.728 vs conv 1.860 (both rounds)
+    (4, 1920, 960): "pad256",   # 1.260 vs conv 2.221 (pad won both)
+    (16, 192, 384): "pallas",   # 1.207 vs conv 1.411 (conv lost both)
+}
+
+# Fused-prologue winners: at these sites the whole GN -> SPADE -> SiLU
+# -> conv ResBlock prologue runs as ONE Pallas kernel
+# (ops/pallas/conv_pallas.py::conv3x3_norm_silu_pallas) under
+# FRIDO_CONV_MODE=auto. Populated from the docs/r4_chip/ fused rows:
+# the fused kernel wins ONLY when the per-pixel SPADE modulation is part
+# of the prologue (8^2 576->576: 1.789 vs 3.071 ms chained; 32^2
+# 384->192: 2.455 vs 2.673) — at plain-GN sites XLA already fuses the
+# elementwise prologue into the conv well enough that the Pallas kernel's
+# lower conv MFU loses. Hence the spade gate in _auto_fused. Sites absent
+# here run the unfused prologue and dispatch the conv via _AUTO_TABLE.
+# Gated on b >= 64 like the pallas rows (measured at batch 128 only).
+_AUTO_FUSED_TABLE: set = {
+    (8, 576, 576),    # spade prologue 1.789 vs 3.071 (1.7x)
+    (32, 384, 192),   # spade prologue 2.455 vs 2.673
 }
 
 
@@ -93,12 +113,26 @@ def _auto_conv_mode(shape, cout: int) -> str:
     return mode
 
 
+def _auto_fused(shape, cout: int, spade: bool) -> bool:
+    """Should ``auto`` run the fused GN/SPADE/SiLU+conv kernel here?
+
+    Only at SPADE-modulated prologues: every measured fused win comes
+    from folding the per-pixel modulation's extra HBM round-trip into
+    the conv; plain-GN prologues are faster chained (see table above).
+    """
+    b, h, w, cin = shape
+    return (spade and h == w and b >= 64
+            and (h, cin, cout) in _AUTO_FUSED_TABLE)
+
+
 def _conv3x3_padq(x, kernel, pad, q):
     """Conv with Cin/Cout zero-rounded to multiples of ``q``.
 
-    Bit-identical math: padded input channels multiply zero kernel rows
-    and padded output channels are sliced off, so the only change is how
-    XLA tiles the (now MXU-aligned) channel dims.
+    Numerically equivalent: padded input channels multiply zero kernel
+    rows (contributing exact zeros) and padded output channels are sliced
+    off. XLA may tile — and therefore order — the channel reduction
+    differently, so low-bit float differences vs the unpadded conv are
+    possible (tests pin 1e-5-level agreement, not bit equality).
     """
     cin, cout = kernel.shape[2], kernel.shape[3]
     cip, cop = (-cin) % q, (-cout) % q
@@ -179,7 +213,11 @@ class Conv2d(nn.Module):
             gamma = fused_norm.get("gamma")
             beta = fused_norm.get("beta")
             xd = x.astype(dtype)
-            if (mode == "pallas_fused" and k == 3 and self.stride == 1
+            want_fused = (mode == "pallas_fused"
+                          or (mode == "auto"
+                              and _auto_fused(xd.shape, self.features,
+                                              gamma is not None)))
+            if (want_fused and k == 3 and self.stride == 1
                     and pad == [(1, 1), (1, 1)] and use_pallas()
                     and fits_fused_conv(xd.shape, self.features,
                                         gamma is not None)):

@@ -26,23 +26,29 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CONFIGS = [
-    ("baseline", {}),
-    ("conv=shift9", {"FRIDO_CONV_MODE": "shift9"}),
+    ("baseline", {"FRIDO_CONV_MODE": "conv"}),
+    ("conv=auto", {"FRIDO_CONV_MODE": "auto"}),
+    ("conv=pad128", {"FRIDO_CONV_MODE": "pad128"}),
     ("conv=pallas", {"FRIDO_CONV_MODE": "pallas"}),
-    ("conv=im2col", {"FRIDO_CONV_MODE": "im2col"}),
     ("conv=pallas_fused", {"FRIDO_CONV_MODE": "pallas_fused"}),
+    ("conv=shift9", {"FRIDO_CONV_MODE": "shift9"}),
+    ("conv=im2col", {"FRIDO_CONV_MODE": "im2col"}),
     ("latency-hiding-sched", {
         "XLA_FLAGS": "--xla_tpu_enable_latency_hiding_scheduler=true"}),
-    ("pallas+lhs", {
-        "FRIDO_CONV_MODE": "pallas",
+    ("auto+lhs", {
+        "FRIDO_CONV_MODE": "auto",
         "XLA_FLAGS": "--xla_tpu_enable_latency_hiding_scheduler=true"}),
 ]
 
 
 def main():
     quick = "quick" in sys.argv[1:]
+    only = next((a.split("=", 1)[1].split(",") for a in sys.argv[1:]
+                 if a.startswith("only=")), None)
+    configs = ([(n, e) for n, e in CONFIGS if n in only]
+               if only else CONFIGS)
     results = []
-    for name, extra in CONFIGS:
+    for name, extra in configs:
         env = dict(os.environ, BENCH_INPROCESS="1")
         if quick:
             env.setdefault("BENCH_STEPS", "50")
@@ -61,6 +67,13 @@ def main():
                 val = json.loads(line).get("value")
                 results.append((name, val))
                 print(f"{name:24s} {val} img/s", flush=True)
+                save = os.environ.get("BENCH_SAVE_DIR")
+                if save:  # full self-describing JSON line per config
+                    os.makedirs(save, exist_ok=True)
+                    fname = name.replace("=", "_").replace("+", "_")
+                    with open(os.path.join(save, f"flags_{fname}.json"),
+                              "w") as f:
+                        f.write(line + "\n")
                 continue
             tail = (r.stderr or r.stdout).strip().splitlines()[-2:]
             print(f"{name:24s} FAILED rc={r.returncode}: {' | '.join(tail)}",

@@ -203,6 +203,10 @@ def test_acceptance_chain_toy_scale(acceptance_ws):
     # img_id_file+num_sample restricts the test split to the 6 mini ids
     assert len(samples) == 6 and len(inputs) == 6
     assert "done: FID" in r.stderr
+    # machine-readable per-run artifact (VERDICT r3 #7)
+    res = json.loads((out / "acceptance" / "RESULT.json").read_text())
+    assert res["status"] == "nogate"
+    assert isinstance(res["fid"], (int, float))
 
 
 @requires_reference
@@ -222,6 +226,28 @@ def test_acceptance_chain_gates_on_fid(acceptance_ws):
     })
     assert r.returncode == 1
     assert "FAIL: FID" in r.stderr
+    res = json.loads((out / "acceptance" / "RESULT.json").read_text())
+    assert res["status"] == "fail" and res["expected_fid"] == 12345
+
+
+@requires_reference
+def test_acceptance_pass_writes_result(acceptance_ws):
+    """The PASS path must leave the same grep-able RESULT.json: gate with
+    a tolerance band wide enough that the toy FID lands inside it."""
+    ws = acceptance_ws
+    out = ws["root"] / "out_pass"
+    r = _run_acceptance({
+        "CFG": str(ws["cfg"]), "CKPT": str(ws["ckpt"]),
+        "FRIDO_TPU_INCEPTION": str(ws["inception"]),
+        "FRIDO_TPU_BERT_VOCAB": str(ws["vocab"]),
+        "STEPS": "2", "BS": "4", "N": "4", "OUT": str(out),
+        "EXPECTED_FID": "0", "TOL": "1e18",
+    })
+    assert r.returncode == 0, f"{r.stdout[-3000:]}\n{r.stderr[-3000:]}"
+    assert "PASS: FID" in r.stderr
+    res = json.loads((out / "acceptance" / "RESULT.json").read_text())
+    assert res["status"] == "pass"
+    assert isinstance(res["fid"], (int, float))
 
 
 def test_acceptance_reports_missing_assets(tmp_path):

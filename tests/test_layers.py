@@ -195,19 +195,20 @@ def test_conv_auto_mode(monkeypatch):
     the conv emitter — same values either way."""
     from frido_tpu.nn.layers import _auto_conv_mode
 
-    # table routing: a pad128 site, a pallas site (gated on batch), a
-    # conv-wins site, and an unmeasured fallback
-    assert _auto_conv_mode((128, 4, 4, 960), 960) == "pad128"
+    # table routing: a pad256 site, a pallas site (gated on batch), a
+    # conv-wins/flip-flop site, and an unmeasured fallback
+    assert _auto_conv_mode((128, 4, 4, 960), 960) == "pad256"
     assert _auto_conv_mode((128, 16, 16, 384), 384) == "pallas"
     assert _auto_conv_mode((8, 16, 16, 384), 384) == "conv"  # tiny batch
     assert _auto_conv_mode((128, 32, 32, 576), 192) == "conv"
+    assert _auto_conv_mode((128, 8, 8, 576), 576) == "conv"  # flip-flop site
     assert _auto_conv_mode((128, 5, 7, 960), 960) == "conv"  # h != w
     assert _auto_conv_mode((2, 8, 8, 12), 24) == "conv"
 
-    # numerics through a real table hit (8^2 x 576 -> 576 => pad128)
+    # numerics through a real table hit (4^2 x 960 -> 960 => pad256)
     rng = np.random.RandomState(5)
-    mod = Conv2d(features=576, kernel_size=3, padding=1)
-    x = jnp.asarray(rng.randn(1, 8, 8, 576).astype(np.float32))
+    mod = Conv2d(features=960, kernel_size=3, padding=1)
+    x = jnp.asarray(rng.randn(1, 4, 4, 960).astype(np.float32))
     params = mod.init(jax.random.PRNGKey(0), x)
     want = mod.apply(params, x)
     monkeypatch.setenv("FRIDO_CONV_MODE", "auto")

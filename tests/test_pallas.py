@@ -321,3 +321,40 @@ def test_conv_mode_pallas_fused_resblock(monkeypatch, use_spade):
         ref_pre = blk.apply(params, x, emb, None, True, pre)
         np.testing.assert_allclose(np.asarray(want_pre), np.asarray(ref_pre),
                                    atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("use_spade", [False, True])
+def test_conv_mode_auto_fused_routing(monkeypatch, use_spade):
+    """ADVICE r3: FRIDO_CONV_MODE=auto must select the fused prologue
+    kernel at sites listed in _AUTO_FUSED_TABLE (and only there), with
+    values matching the default lowering on the real ResBlock."""
+    from frido_tpu.nn import layers
+    from frido_tpu.nn.pyunet import ResBlock
+
+    monkeypatch.setenv("FRIDO_PALLAS", "interpret")
+    # routing: listed + batch>=64 + spade => fused; every other gate => not
+    monkeypatch.setattr(layers, "_AUTO_FUSED_TABLE", {(8, 64, 32)})
+    assert layers._auto_fused((128, 8, 8, 64), 32, True)
+    assert not layers._auto_fused((128, 8, 8, 64), 32, False)  # spade gate
+    assert not layers._auto_fused((8, 8, 8, 64), 32, True)     # batch gate
+    assert not layers._auto_fused((128, 8, 8, 64), 64, True)   # unlisted
+    assert not layers._auto_fused((128, 8, 6, 64), 32, True)   # h != w
+
+    # numerics through the real ResBlock at a listed site (batch/spade
+    # gates dropped so the CPU-sized batch routes through the fused kernel)
+    monkeypatch.setattr(
+        layers, "_auto_fused",
+        lambda shape, cout, spade: (shape[1], shape[3], cout) in {(8, 64, 32)})
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(2, 8, 8, 64).astype(np.float32))
+    emb = jnp.asarray(rng.randn(2, 128).astype(np.float32))
+    cond = (jnp.asarray(rng.randn(2, 4, 4, 16).astype(np.float32))
+            if use_spade else None)
+    blk = ResBlock(channels=64, out_channels=32, use_spade=use_spade)
+    monkeypatch.delenv("FRIDO_CONV_MODE", raising=False)
+    params = blk.init(jax.random.PRNGKey(0), x, emb, cond)
+    want = blk.apply(params, x, emb, cond)
+    monkeypatch.setenv("FRIDO_CONV_MODE", "auto")
+    got = blk.apply(params, x, emb, cond)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)

@@ -40,6 +40,14 @@ TOL="${TOL:-8}"
 missing=0
 note() { echo "acceptance: $*" >&2; }
 need() { note "MISSING: $*"; missing=1; }
+# one grep-able machine-readable artifact per run (VERDICT r3 #7):
+# RESULT.json with status pass|fail|nogate and the measured FID
+result() { # $1=status $2=fid (may be "")
+    mkdir -p "$OUT/acceptance"
+    printf '{"status": "%s", "fid": %s, "expected_fid": %s, "tol": %s, "cfg": "%s", "steps": %s, "seed": %s}\n' \
+        "$1" "${2:-null}" "${EXPECTED_FID:-null}" "$TOL" "$CFG" "$STEPS" "$SEED" \
+        | tee "$OUT/acceptance/RESULT.json"
+}
 
 [ -n "${CKPT:-}" ] || need "CKPT — path to the torch Frido t2i checkpoint \
 (reference tools/download.sh fetches it as frido_t2i.ckpt)"
@@ -93,10 +101,13 @@ if [ -n "$EXPECTED_FID" ]; then
     ok=$(python3 -c "print(int(abs($fid - $EXPECTED_FID) <= $TOL))")
     if [ "$ok" = 1 ]; then
         note "PASS: FID $fid within +/-$TOL of the reference's $EXPECTED_FID"
+        result pass "$fid"
     else
         note "FAIL: FID $fid outside +/-$TOL of the reference's $EXPECTED_FID"
+        result fail "$fid"
         exit 1
     fi
 else
     note "done: FID $fid (no expected value configured)"
+    result nogate "$fid"
 fi
