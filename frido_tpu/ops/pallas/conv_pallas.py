@@ -38,14 +38,37 @@ from jax.experimental import pallas as pl
 
 from frido_tpu.ops.pallas.dispatch import interpret_mode
 
-# VMEM working-set budget. v5e scoped-vmem limit is 16 MiB per kernel; the
-# model below must cover pipeline double-buffering of every in/out block
-# (Mosaic keeps 2 copies of each to overlap HBM copies with compute) PLUS
-# the kernel-body scratch (padded x copy, fp32 accum). First real-chip run
-# measured 16.83M actual vs the old 10M model at (128,16,16,384)->384 —
-# the model, not the chip, was wrong.
-_VMEM_BUDGET = 12 * 1024 * 1024
+# VMEM working-set budget. v5e's scoped-vmem limit is a hard 16 MiB per
+# kernel (this XLA build rejects --xla_tpu_scoped_vmem_limit_kib as an
+# unknown flag — verified on chip 2026-08-19, so the limit cannot be
+# raised). Mosaic's actual stack allocation exceeds any naive
+# "sum of my buffers" model: the plain kernel at (128,32,32,192)->128
+# with bb=4 allocates 16.54M where the old model said 9.1M (the gap is
+# double-buffered IO blocks plus Mosaic's staging of dot operands and
+# fp32 temporaries). Rather than enumerate Mosaic internals, the pickers
+# use an EMPIRICAL per-pixel stack model calibrated against every
+# chip-compiled config:
+#
+#   stack ~= bb*h*w*(A*cin + B*tn [+ S*cin if spade]) + padded-x + 2*wtile
+#
+# with (A, B) fit so that the measured OOM (plain, 32^2x192->128, bb=4,
+# 16.54M) is rejected and every config that compiled and ran on chip
+# (plain bb=4 at 16^2x384->384, bb=2 at 32^2x192->192; fused bb=8 at
+# 8^2x576->576, bb=1 at 32^2x384->192+SPADE) stays eligible. The fused
+# kernel carries more live fp32 temporaries per pixel, hence its larger
+# A. If a new shape ever OOMs, tighten the coefficients with that point.
+_VMEM_LIMIT = int(15.9 * 1024 * 1024)
+_STACK_A_PLAIN, _STACK_B = 13, 10
+_STACK_A_FUSED, _STACK_SPADE = 22, 4
 _W_TILE_BUDGET = 4 * 1024 * 1024
+
+
+def _stack_fits(bb, h, w, cin, tn, itemsize, wbytes, a, spade=False):
+    per_px = a * cin + _STACK_B * tn + (_STACK_SPADE * cin if spade else 0)
+    stack = (bb * h * w * per_px
+             + (h + 2) * (w + 2) * cin * itemsize
+             + 2 * wbytes)
+    return stack <= _VMEM_LIMIT
 
 
 def _conv_kernel(x_ref, w_ref, b_ref, o_ref, *, h: int, w: int):
@@ -86,20 +109,17 @@ def _tn_options(cout):
 
 
 def _pick_tiles(b, h, w, cin, cout, itemsize):
-    """(bb, tn, cout_padded) sized to the VMEM budget; None if no fit."""
+    """(bb, tn, cout_padded) sized to the VMEM stack model; None if no
+    fit. Picks the largest batch block the empirical model admits."""
     for cp, tn in _tn_options(cout):
-        if 9 * cin * tn * itemsize > _W_TILE_BUDGET:
+        wbytes = 9 * cin * tn * itemsize
+        if wbytes > _W_TILE_BUDGET:
             continue
-        # per-sample: x block + out block (double-buffered by the
-        # pipeline), padded-x scratch, fp32 accum
-        per_sample = (2 * h * w * cin * itemsize
-                      + (h + 2) * (w + 2) * cin * itemsize
-                      + h * w * tn * (4 + 2 * itemsize))
-        budget = _VMEM_BUDGET - 2 * 9 * cin * tn * itemsize
-        bb = max(1, min(b, budget // max(per_sample, 1)))
-        while b % bb:
+        bb = b
+        while bb and not (b % bb == 0 and _stack_fits(
+                bb, h, w, cin, tn, itemsize, wbytes, _STACK_A_PLAIN)):
             bb -= 1
-        if per_sample * bb > budget:
+        if not bb:
             continue
         # MXU wants >= ~256 rows per dot; tiny spatial extents need
         # bigger bb
@@ -231,21 +251,15 @@ def _fused_kernel(*refs, h: int, w: int, groups: int, eps: float,
 def _pick_tiles_fused(b, h, w, cin, cout, itemsize, spade):
     """(bb, tn, cout_padded) for the fused kernel; None if no fit."""
     for cp, tn in _tn_options(cout):
-        if 9 * cin * tn * itemsize > _W_TILE_BUDGET:
+        wbytes = 9 * cin * tn * itemsize
+        if wbytes > _W_TILE_BUDGET:
             continue
-        # per sample: x block + gamma/beta blocks (if spade) + out block,
-        # all double-buffered by the pipeline; fp32 normalized temp +
-        # padded bf16 copy + fp32 accum as kernel scratch
-        per_sample = (2 * h * w * cin * itemsize
-                      + h * w * cin * 4
-                      + (h + 2) * (w + 2) * cin * itemsize
-                      + (4 * h * w * cin * itemsize if spade else 0)
-                      + h * w * tn * (4 + 2 * itemsize))
-        budget = _VMEM_BUDGET - 2 * 9 * cin * tn * itemsize
-        bb = max(1, min(b, budget // max(per_sample, 1)))
-        while b % bb:
+        bb = b
+        while bb and not (b % bb == 0 and _stack_fits(
+                bb, h, w, cin, tn, itemsize, wbytes, _STACK_A_FUSED,
+                spade=spade)):
             bb -= 1
-        if per_sample * bb > budget:
+        if not bb:
             continue
         if bb * h * w < 256 and bb < b:
             continue
