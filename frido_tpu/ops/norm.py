@@ -67,8 +67,16 @@ def group_norm_jnp(
     xg = x.reshape(group_shape)
     # reduce over all dims except batch and group
     axes = tuple(range(1, len(group_shape) - 2)) + (len(group_shape) - 1,)
+    # One-pass statistics: E[x] and E[x^2] reduce over the SAME input, so
+    # XLA multi-output-fuses them into a single read of x. jnp.var's
+    # two-pass form costs an extra full activation read per site — the
+    # round-4 step profile measured the stats fusions at ~7 ms of the
+    # 60 ms stage call (docs/PERF.md). Cancellation in E[x^2] - mean^2 is
+    # benign here: stats are fp32 and GN inputs are O(1) activations
+    # (golden parity suites pin the numerics).
     mean = xg.mean(axis=axes, keepdims=True)
-    var = xg.var(axis=axes, keepdims=True)
+    m2 = (xg * xg).mean(axis=axes, keepdims=True)
+    var = jnp.maximum(m2 - mean * mean, 0.0)
     xg = (xg - mean) * jax.lax.rsqrt(var + eps)
     x = xg.reshape(shape)
     x = x * scale.astype(x.dtype) + bias.astype(x.dtype)
