@@ -62,21 +62,19 @@ def _conv_mode() -> str:
     return os.environ.get("FRIDO_CONV_MODE", "conv")
 
 
-# Measured per-site winners, scripts/bench_conv_sites.py on the real v5e
-# chip (bf16, batch 128, h=w): keyed (h, cin, cout). Built from TWO chip
-# sessions (round 3 and docs/r4_chip/conv_sites_b128.txt, 2026-08-19);
-# only winners that were consistent across both sessions keep a non-conv
-# row — sites whose winner flipped between sessions (32^2 192->192,
-# 8^2 576->576, 8^2 1152->576) run the emitter, since a flip means the
-# margin is inside run-to-run variance. The stable wins: channel rounding
-# to 256 is a 2.6x at the 4^2x960 trunk site (3.07 -> 1.19 ms) and 1.8x
-# at 4^2 1920->960, and the Pallas kernel wins all three measured 16^2
-# sites by 8-17%. Pallas rows are gated on batch >= 64 (table measured
-# at 128; tiny-batch training shapes were not measured, and the emitter
-# is the safe default there). pad rows apply at any batch/dtype: the
-# channel-rounding win comes from MXU tile alignment of the Cin/Cout
-# dims, which batch does not change — validated at batch 8/16 by
-# scripts/bench_conv_sites.py --batch (see docs/PERF.md training table).
+# EXPERIMENTAL ONLY — the default mode is (and should stay) ``conv``.
+# This table was built from scripts/bench_conv_sites.py standalone
+# per-site timings (bf16, batch 128, two chip sessions), but round 4's
+# in-program profiling (scripts/profile_step.py, docs/PERF.md "round 4"
+# section) showed those microbenches were dominated by per-dispatch
+# overhead: the (4,960,960) conv that microbenched at 3.07 ms costs
+# 0.11 ms inside the compiled stage call, where XLA also fuses the whole
+# GN->SPADE->SiLU prologue into the conv and picks a batch-minor
+# emitter. Measured end-to-end (docs/r4_chip/flags_*.json): conv 2.7913
+# vs auto 2.7932 img/s — within noise — and forcing the Pallas kernels
+# everywhere is strictly worse (stage call 60.1 -> 74.6 ms pallas,
+# 77.7 ms pallas_fused). The table is kept so the modes stay exercisable
+# end-to-end with one flag, not because any row is a validated win.
 _AUTO_TABLE = {
     (16, 384, 384): "pallas",   # 1.299 vs conv 1.527 ms (r4: consistent)
     (4, 960, 960): "pad256",    # 1.194 vs conv 3.069 (2.6x, both rounds)
@@ -86,17 +84,13 @@ _AUTO_TABLE = {
     (16, 192, 384): "pallas",   # 1.207 vs conv 1.411 (conv lost both)
 }
 
-# Fused-prologue winners: at these sites the whole GN -> SPADE -> SiLU
-# -> conv ResBlock prologue runs as ONE Pallas kernel
-# (ops/pallas/conv_pallas.py::conv3x3_norm_silu_pallas) under
-# FRIDO_CONV_MODE=auto. Populated from the docs/r4_chip/ fused rows:
-# the fused kernel wins ONLY when the per-pixel SPADE modulation is part
-# of the prologue (8^2 576->576: 1.789 vs 3.071 ms chained; 32^2
-# 384->192: 2.455 vs 2.673) — at plain-GN sites XLA already fuses the
-# elementwise prologue into the conv well enough that the Pallas kernel's
-# lower conv MFU loses. Hence the spade gate in _auto_fused. Sites absent
-# here run the unfused prologue and dispatch the conv via _AUTO_TABLE.
-# Gated on b >= 64 like the pallas rows (measured at batch 128 only).
+# Fused-prologue sites for FRIDO_CONV_MODE=auto — same caveat as
+# _AUTO_TABLE above: the standalone microbench wins recorded here did
+# not survive in-program profiling (XLA already fuses the full
+# GN -> SPADE -> SiLU prologue into each conv fusion, so the Pallas
+# kernel's only remaining edge — the in-VMEM statistics — doesn't pay
+# for its slower conv). Kept for one-flag experimentation; spade-gated
+# and b >= 64 as originally measured.
 _AUTO_FUSED_TABLE: set = {
     (8, 576, 576),    # spade prologue 1.789 vs 3.071 (1.7x)
     (32, 384, 192),   # spade prologue 2.455 vs 2.673

@@ -27,15 +27,29 @@ from frido_tpu.ops.image import interpolate_nearest
 _FLASH_MIN_KV = 512
 _FLASH_MIN_SCORES = 1 << 21
 
-# Below the flash range, the single-pass VMEM kernel (smalls_attention —
-# scores never touch HBM) wins at the UNet's mid-size spatial sites.
-# Measured (scripts/bench_attention_sites.py, v5e, flagship shapes,
-# CFG batch 128): self 256 tokens 2.35->2.09 ms, self 64 1.73->1.60,
-# cross 256q/77kv 2.14->1.75; LOSES at 16-token grids (1.26->1.46) and
-# 64q/77kv cross (1.47->1.57) — hence the floor conditions.
+# Below the flash range sits the single-pass VMEM kernel
+# (smalls_attention — scores never touch HBM). Standalone microbenches
+# (scripts/bench_attention_sites.py, chained-dispatch timing) showed it
+# winning the UNet's mid-size sites (self 256 tokens 2.35->2.09 ms,
+# self 64 1.73->1.60, cross 256q/77kv 2.14->1.75), but round-4
+# IN-PROGRAM profiling (scripts/profile_step.py, docs/PERF.md) showed
+# the opposite at the production config: the custom calls cost 3.6 ms
+# per stage call PLUS ~2.2 ms of layout copies XLA inserts around their
+# layout constraints, while XLA runs the same sites inside its fusions
+# for ~1.1 ms — stage1 59.3 -> 54.8 ms with the kernel off. Chained
+# microbenches are dispatch-overhead-dominated at sub-millisecond sizes
+# and blind to the boundary copies, so the in-program number governs:
+# smalls routes to XLA unless FRIDO_SMALLS_ATTN=1 opts the kernel back
+# in for experiments. (Flash attention keeps its dispatch: its >=512-kv
+# wins are 1.5-2.3x — far above overhead noise — and the XLA form of
+# the 4096-token VQGAN-decoder sites OOMs HBM outright.)
 
 
 def _use_smalls(nq: int, nk: int, d: int, scores: int) -> bool:
+    import os
+
+    if os.environ.get("FRIDO_SMALLS_ATTN", "0") != "1":
+        return False
     # The seq cap comes from the kernel itself so dispatch and the kernel's
     # trace-time assert can never drift apart.
     from frido_tpu.ops.pallas import smalls_vmem_ok
@@ -46,8 +60,8 @@ def _use_smalls(nq: int, nk: int, d: int, scores: int) -> bool:
     if not smalls_vmem_ok(nq, nk, d):
         return False             # large-d shapes blow VMEM even at group 1
     if nq == nk:
-        return nq >= 64          # self-attention: wins from 64 tokens up
-    return nq >= 256             # cross-attention: only at the largest grid
+        return nq >= 64          # self-attention (microbench floor)
+    return nq >= 256             # cross-attention (microbench floor)
 
 
 def dot_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,

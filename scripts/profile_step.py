@@ -149,6 +149,11 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--top", type=int, default=15)
     ap.add_argument("--units", default="stage0,stage1")
+    ap.add_argument("--params-dtype", default=None,
+                    help="cast float params to this dtype on device "
+                         "(e.g. bfloat16) — measures the param-read-"
+                         "traffic share; fusions otherwise read fp32 "
+                         "kernels (seen in the optimized HLO)")
     args = ap.parse_args()
 
     import __graft_entry__ as g
@@ -171,6 +176,12 @@ def main():
                         "unet_config")})
     with jax.default_device(jax.devices("cpu")[0]):
         params = model.init_params(jax.random.PRNGKey(0), context_len=77)
+    if args.params_dtype:
+        pd = jnp.dtype(args.params_dtype)
+        params = jax.tree.map(
+            lambda a: a.astype(pd)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+            params)
     params = jax.device_put(params, jax.devices()[0])
 
     B = args.batch

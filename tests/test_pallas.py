@@ -152,6 +152,22 @@ def test_smalls_attention_matches_reference(bh, nq, nk, d):
                                atol=2e-5, rtol=2e-5)
 
 
+def test_smalls_attention_opt_in_routing(monkeypatch):
+    """Round 4: smalls attention routes to XLA by default (in-program
+    profiling showed the custom calls + their boundary layout copies cost
+    more than XLA's fused form at the production config); the kernel is
+    opt-in via FRIDO_SMALLS_ATTN=1."""
+    from frido_tpu.nn.transformer import _use_smalls
+
+    # the flagship ds-2 self-attention site that the kernel used to take
+    monkeypatch.delenv("FRIDO_SMALLS_ATTN", raising=False)
+    assert not _use_smalls(256, 256, 32, 24 * 256 * 256)
+    monkeypatch.setenv("FRIDO_SMALLS_ATTN", "1")
+    assert _use_smalls(256, 256, 32, 24 * 256 * 256)
+    # opted in, the original floors still hold
+    assert not _use_smalls(16, 16, 32, 8 * 16 * 16)
+
+
 def test_smalls_attention_multihead_layout_and_grads():
     from frido_tpu.ops.pallas.attention import smalls_attention
 
