@@ -33,11 +33,15 @@ CONFIGS = [
     ("conv=pallas_fused", {"FRIDO_CONV_MODE": "pallas_fused"}),
     ("conv=shift9", {"FRIDO_CONV_MODE": "shift9"}),
     ("conv=im2col", {"FRIDO_CONV_MODE": "im2col"}),
-    ("latency-hiding-sched", {
-        "XLA_FLAGS": "--xla_tpu_enable_latency_hiding_scheduler=true"}),
-    ("auto+lhs", {
-        "FRIDO_CONV_MODE": "auto",
-        "XLA_FLAGS": "--xla_tpu_enable_latency_hiding_scheduler=true"}),
+    # round 4: the smalls-attention kernel is off by default (in-program
+    # loss, see nn/transformer.py); this row re-measures it end-to-end
+    ("smalls-attn", {"FRIDO_SMALLS_ATTN": "1"}),
+    # round 4: re-measure the all-Pallas-off ablation at the current
+    # batch-128 defaults (VERDICT r3 #8 — the 2.177 img/s row in PERF.md
+    # predates the batch-128 config and the dispatch-table changes)
+    ("pallas=0", {"FRIDO_PALLAS": "0"}),
+    # NOTE: --xla_tpu_enable_latency_hiding_scheduler was removed — this
+    # jax/XLA build rejects it as an unknown flag (chip run 2026-08-19)
 ]
 
 
