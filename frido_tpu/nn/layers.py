@@ -97,6 +97,30 @@ _AUTO_FUSED_TABLE: set = {
 }
 
 
+def _smalls_conv_mode() -> tuple[str, int]:
+    """Small-spatial conv re-lowering experiment (round 4).
+
+    The in-program device trace (docs/PERF.md round-4 section) shows
+    11% of the stage call in "data formatting" — layout copies XLA
+    inserts because its small-spatial conv emitter picks a batch-minor
+    output layout ({0,3,2,1}, "OutputBatchInLanes") while the rest of
+    the program is channel-minor. Lowering those convs as dots (shift9 /
+    im2col) keeps everything channel-minor, trading emitter efficiency
+    for zero boundary copies — a trade only the in-program profile can
+    judge, hence the env knob.
+
+    FRIDO_CONV_SMALLS = '' (off, default) | shift9 | im2col | pad128 |
+    pad256 — applied to 3x3/stride-1 sites with h,w <=
+    FRIDO_CONV_SMALLS_HW (default 8) when the resolved mode is ``conv``.
+    1x1/stride-1 sites at those spatials are lowered to a plain reshaped
+    matmul whenever FRIDO_CONV_SMALLS is set (any value).
+    """
+    import os
+
+    return (os.environ.get("FRIDO_CONV_SMALLS", ""),
+            int(os.environ.get("FRIDO_CONV_SMALLS_HW", "8")))
+
+
 def _auto_conv_mode(shape, cout: int) -> str:
     b, h, w, cin = shape
     if h != w:
@@ -238,6 +262,23 @@ class Conv2d(nn.Module):
             mode = (_auto_conv_mode(x.shape, self.features)
                     if k == 3 and self.stride == 1
                     and pad == [(1, 1), (1, 1)] else "conv")
+        smalls, smalls_hw = _smalls_conv_mode()
+        if (smalls and x.shape[1] <= smalls_hw and x.shape[2] <= smalls_hw
+                and self.stride == 1):
+            if mode == "conv" and k == 3 and pad == [(1, 1), (1, 1)]:
+                mode = smalls
+            elif k == 1 and pad == [(0, 0), (0, 0)]:
+                # 1x1 conv as a reshaped matmul: channel-minor by
+                # construction, no emitter layout choice to fight
+                b, hh, ww, _ = x.shape
+                y = (x.astype(dtype).reshape(-1, cin)
+                     @ kernel[0, 0].astype(dtype)).reshape(
+                         b, hh, ww, self.features)
+                if self.use_bias:
+                    bias = self.param("bias", nn.initializers.zeros,
+                                      (self.features,))
+                    y = y + bias.astype(dtype)
+                return y
         if (mode == "pallas" and k == 3 and self.stride == 1
                 and pad == [(1, 1), (1, 1)]):
             from frido_tpu.ops.pallas import use_pallas

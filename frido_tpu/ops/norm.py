@@ -29,8 +29,20 @@ def group_norm(
 
     ``cast_fp32=True`` reproduces GroupNorm32's ``x.float()`` upcast so bf16
     activations are normalized in fp32 and cast back. ``fuse_silu`` appends
-    SiLU (fused into the Pallas kernel on TPU; measured faster than XLA's
-    GN when the spatial extent is >= 16x16)."""
+    SiLU.
+
+    Dispatch (round 4): the Pallas GN+SiLU kernel won its standalone
+    microbenches (0.57 vs 0.68 ms at 64x32^2x320) but LOSES in-program at
+    the production config — with every Pallas kernel disabled the t2i
+    headline measured 3.40 vs 2.97 img/s (docs/r4_chip/), the same
+    custom-call + boundary-layout-copy tax that retired the smalls
+    attention kernel. XLA fuses the normalize+SiLU into the consumer conv
+    and only the statistics stay separate (made lane-aligned in
+    ``group_norm_jnp``), so XLA is the default; ``FRIDO_GN_PALLAS=1``
+    opts the kernel back in for shapes where a standalone-norm workload
+    dominates."""
+    import os
+
     from frido_tpu.ops.pallas import use_pallas
     from frido_tpu.ops.pallas.norm_pallas import (fits_pallas_gn,
                                                   group_norm_pallas)
@@ -38,7 +50,8 @@ def group_norm(
     hw = 1
     for s in x.shape[1:-1]:
         hw *= s
-    if use_pallas() and hw >= 256 and fits_pallas_gn(x.shape):
+    if (os.environ.get("FRIDO_GN_PALLAS", "0") == "1" and use_pallas()
+            and hw >= 256 and fits_pallas_gn(x.shape)):
         return group_norm_pallas(x, scale, bias, num_groups, eps, fuse_silu)
     return group_norm_jnp(x, scale, bias, num_groups, eps, cast_fp32,
                           fuse_silu)
@@ -61,25 +74,40 @@ def group_norm_jnp(
     if cast_fp32:
         x = x.astype(jnp.float32)
     shape = x.shape
-    c = shape[-1]
+    n, c = shape[0], shape[-1]
     assert c % num_groups == 0, f"channels {c} not divisible by groups {num_groups}"
-    group_shape = shape[:-1] + (num_groups, c // num_groups)
-    xg = x.reshape(group_shape)
-    # reduce over all dims except batch and group
-    axes = tuple(range(1, len(group_shape) - 2)) + (len(group_shape) - 1,)
+    cg = c // num_groups
     # One-pass statistics: E[x] and E[x^2] reduce over the SAME input, so
-    # XLA multi-output-fuses them into a single read of x. jnp.var's
-    # two-pass form costs an extra full activation read per site — the
-    # round-4 step profile measured the stats fusions at ~7 ms of the
-    # 60 ms stage call (docs/PERF.md). Cancellation in E[x^2] - mean^2 is
-    # benign here: stats are fp32 and GN inputs are O(1) activations
-    # (golden parity suites pin the numerics).
-    mean = xg.mean(axis=axes, keepdims=True)
-    m2 = (xg * xg).mean(axis=axes, keepdims=True)
+    # XLA multi-output-fuses them into a single read of x (jnp.var's
+    # two-pass form costs an extra full activation read per site).
+    #
+    # Lane-aligned reduction order: reduce spatial dims in the natural
+    # [..., C] layout to per-channel sums [N, C], THEN group-reduce the
+    # tiny result. Reshaping to [..., G, C/G] before the big reduce (the
+    # obvious form) puts C/G = 6..30 channels in the minor/lane dim, and
+    # the round-4 device trace measured those stats fusions at only
+    # ~145 GB/s realized (docs/PERF.md) — lane-padding waste on a
+    # bandwidth-bound op. The group reduce on [N, C] is O(N*C) and free.
+    spatial_axes = tuple(range(1, len(shape) - 1))
+    count = cg
+    for s in shape[1:-1]:
+        count *= s
+    s1 = x.sum(axis=spatial_axes)        # [N, C]
+    s2 = (x * x).sum(axis=spatial_axes)  # [N, C]
+    mean = s1.reshape(n, num_groups, cg).sum(-1) / count   # [N, G]
+    m2 = s2.reshape(n, num_groups, cg).sum(-1) / count
     var = jnp.maximum(m2 - mean * mean, 0.0)
-    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
-    x = xg.reshape(shape)
-    x = x * scale.astype(x.dtype) + bias.astype(x.dtype)
+    inv = jax.lax.rsqrt(var + eps)                         # [N, G]
+    # fold the group stats and the affine into per-channel vectors so the
+    # apply is a single fused multiply-add over x
+    inv_c = jnp.broadcast_to(inv[:, :, None], (n, num_groups, cg)) \
+        .reshape(n, c)
+    mean_c = jnp.broadcast_to(mean[:, :, None], (n, num_groups, cg)) \
+        .reshape(n, c)
+    w = inv_c * scale.astype(x.dtype)[None, :]             # [N, C]
+    b = bias.astype(x.dtype)[None, :] - mean_c * w
+    bshape = (n,) + (1,) * len(spatial_axes) + (c,)
+    x = x * w.reshape(bshape) + b.reshape(bshape)
     if fuse_silu:
         x = jax.nn.silu(x)
     return x.astype(orig_dtype) if cast_fp32 else x

@@ -215,3 +215,36 @@ def test_conv_auto_mode(monkeypatch):
     got = mod.apply(params, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_conv_smalls_mode(monkeypatch):
+    """FRIDO_CONV_SMALLS re-lowers small-spatial convs (<= the HW gate)
+    as dots — same values as the conv emitter; larger spatials and
+    strided sites are untouched."""
+    rng = np.random.RandomState(7)
+
+    # 3x3 at 8^2: routed (shift9); at 16^2: untouched
+    for hw, label in [(8, "routed"), (16, "untouched")]:
+        mod = Conv2d(features=24, kernel_size=3, padding=1)
+        x = jnp.asarray(rng.randn(2, hw, hw, 12).astype(np.float32))
+        params = mod.init(jax.random.PRNGKey(0), x)
+        want = mod.apply(params, x)
+        monkeypatch.setenv("FRIDO_CONV_SMALLS", "shift9")
+        got = mod.apply(params, x)
+        monkeypatch.delenv("FRIDO_CONV_SMALLS")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5, err_msg=label)
+
+    # 1x1 skip at 4^2: reshaped-matmul path (any FRIDO_CONV_SMALLS value)
+    mod1 = Conv2d(features=24, kernel_size=1)
+    x1 = jnp.asarray(rng.randn(2, 4, 4, 12).astype(np.float32))
+    params1 = mod1.init(jax.random.PRNGKey(1), x1)
+    want1 = mod1.apply(params1, x1)
+    monkeypatch.setenv("FRIDO_CONV_SMALLS", "shift9")
+    got1 = mod1.apply(params1, x1)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(want1),
+                               atol=1e-5, rtol=1e-5)
+    # strided 3x3 at small spatial falls through to the emitter
+    mod2 = Conv2d(features=24, kernel_size=3, stride=2, padding=1)
+    params2 = mod2.init(jax.random.PRNGKey(2), x1)
+    assert mod2.apply(params2, x1).shape == (2, 2, 2, 24)
