@@ -85,7 +85,7 @@ def summarize(events: list[dict], iters: int, label: str, top: int) -> float:
             ln = e["args"].get("long_name", "")
             shape = _SHAPE.search(ln)
             op_meta[name] = (shape.group(0) if shape else "",
-                             int(e["args"].get("bytes_accessed", 0)))
+                             int(e["args"].get("bytes_accessed", 0)), ln)
     per_iter_ms = total / iters / 1e3
     gib = sum(int(e["args"].get("bytes_accessed", 0))
               for e in events) / iters / 2**30
@@ -100,11 +100,14 @@ def summarize(events: list[dict], iters: int, label: str, top: int) -> float:
         print(f"  {cat:28s} {us / iters / 1e3:8.3f} ms  "
               f"{us / total * 100:5.1f}%")
     print(f"  top {top} ops:")
+    long = os.environ.get("PROFILE_LONG", "0") == "1"
     for name, us in sorted(by_op.items(), key=lambda kv: -kv[1])[:top]:
-        shape, nbytes = op_meta[name]
+        shape, nbytes, ln = op_meta[name]
         print(f"    {name:28s} {us / iters / 1e3:8.3f} ms  "
               f"{us / total * 100:5.1f}%  {shape}  "
               f"{nbytes / 2**20:.1f} MiB/iter")
+        if long and ln:
+            print(f"        {ln[:400]}")
     return per_iter_ms
 
 
