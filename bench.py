@@ -61,12 +61,27 @@ import time
 V100_EST_IMG_PER_S = 0.14
 
 
+def _task() -> str:
+    """Benchmark task: 't2i' (flagship f16f8, default) or 'layout2i_f8f4'
+    (the COCO-seg f8f4 config — 64² latents, raw bbox-token conditioning;
+    reference config configs/frido/layout2i/frido_f8f4_coco_seg.yaml)."""
+    return os.environ.get("BENCH_TASK", "t2i")
+
+
+_TASK_CONFIGS = {
+    "t2i": "configs/frido/t2i/frido_f16f8_coco.yaml",
+    "layout2i_f8f4": "configs/frido/layout2i/frido_f8f4_coco_seg.yaml",
+}
+
+
 def _metric_name() -> str:
     sampler = os.environ.get("BENCH_SAMPLER", "plms")
     steps = os.environ.get(
         "BENCH_STEPS", "25" if sampler == "dpmpp" else "200")
     label = "DPM-Solver++(2M)" if sampler == "dpmpp" else sampler.upper()
-    return f"t2i 256x256 images/sec/chip ({label} {steps} steps, CFG 1.5)"
+    task = _task().replace("_", " ")
+    return (f"{task} 256x256 images/sec/chip "
+            f"({label} {steps} steps, CFG 1.5)")
 
 
 # ---------------------------------------------------------------------------
@@ -125,11 +140,13 @@ def run_bench() -> dict:
               f"BENCH_DECODE_CHUNK={decode_chunk}; decode runs unchunked "
               f"(full-batch decoder HBM peak)", file=sys.stderr)
 
-    import __graft_entry__ as g
     from frido_tpu.config import load_yaml
     from frido_tpu.models.frido import FridoDiffusion
 
-    cfg = load_yaml(g.FLAGSHIP_CONFIG)["model"]["params"]
+    repo = os.path.dirname(os.path.abspath(__file__))
+    cfg_path = os.environ.get(
+        "BENCH_CONFIG", os.path.join(repo, _TASK_CONFIGS[_task()]))
+    cfg = load_yaml(cfg_path)["model"]["params"]
     model = FridoDiffusion(
         first_stage_config=cfg["first_stage_config"],
         cond_stage_config=cfg["cond_stage_config"],
@@ -137,15 +154,19 @@ def run_bench() -> dict:
         **{k: v for k, v in cfg.items()
            if k not in ("first_stage_config", "cond_stage_config",
                         "unet_config")})
+    # raw-token conditioning (layout2i/label2i) has a config max_seq_len;
+    # the t2i tokenizer path is fixed at the 77-token BERT window
+    ctx_len = cfg["cond_stage_config"]["params"].get("max_seq_len", 77)
 
     rng = jax.random.PRNGKey(0)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        params = model.init_params(jax.random.PRNGKey(0), context_len=77)
+        params = model.init_params(jax.random.PRNGKey(0),
+                                   context_len=ctx_len)
     params = jax.device_put(params, jax.devices()[0])
 
-    tokens = jnp.zeros((batch, 77), jnp.int32)
-    utokens = jnp.zeros((batch, 77), jnp.int32)
+    tokens = jnp.zeros((batch, ctx_len), jnp.int32)
+    utokens = jnp.zeros((batch, ctx_len), jnp.int32)
 
     def pipeline(params, rng, tokens, utokens):
         ctx = model.get_learned_conditioning(params, tokens)
@@ -190,11 +211,15 @@ def run_bench() -> dict:
         "unit": "img/s",
         # vs_baseline divides by a LOWER bound on V100 throughput derived
         # from README.md:242 ("within 1 hour"), so this is an UPPER bound
-        # on the true multiple — see module docstring.
-        "vs_baseline": round(ips / V100_EST_IMG_PER_S, 3),
+        # on the true multiple — see module docstring. The anchor is the
+        # t2i mini-eval claim; for other tasks no comparable V100 runtime
+        # claim exists, so vs_baseline is null there.
+        "vs_baseline": (round(ips / V100_EST_IMG_PER_S, 3)
+                        if _task() == "t2i" else None),
         # provenance: the resolved configuration this number was measured
         # under (VERDICT r3 #3 — bench artifacts must be self-describing)
         "config": {
+            "task": _task(),
             "batch": batch,
             "steps": steps,
             "sampler": sampler,
@@ -205,6 +230,7 @@ def run_bench() -> dict:
                 "frido_tpu.nn.layers", fromlist=["_conv_mode"]
             )._conv_mode(),
             "pallas": os.environ.get("FRIDO_PALLAS", "1"),
+            "flash": os.environ.get("FRIDO_FLASH", "1"),
             "decode_chunk": decode_chunk,
             "repeats": repeats,
             "times_s": [round(t, 3) for t in times],

@@ -75,12 +75,18 @@ def dot_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     from frido_tpu.ops.pallas import (flash_attention, smalls_attention,
                                       use_pallas)
 
+    import os
+
     batch = 1
     for s in q.shape[:-2]:
         batch *= s
     scores = batch * q.shape[-2] * k.shape[-2]
+    # FRIDO_FLASH=0 routes the >=512-kv sites to the XLA einsum form for
+    # in-program ablations (keeps VQ argmin etc. dispatched, unlike
+    # FRIDO_PALLAS=0) — the round-5 f8f4 flash on/off evidence standard.
     if (use_pallas() and k.shape[-2] >= _FLASH_MIN_KV
-            and scores >= _FLASH_MIN_SCORES):
+            and scores >= _FLASH_MIN_SCORES
+            and os.environ.get("FRIDO_FLASH", "1") != "0"):
         return flash_attention(q, k, v, scale)
     if use_pallas() and _use_smalls(q.shape[-2], k.shape[-2], q.shape[-1],
                                     scores):

@@ -70,8 +70,28 @@ def group_norm_jnp(
     the Pallas kernel's custom_vjp recomputes in its backward; routing it
     through the dispatcher would nest kernels unboundedly under
     grad-of-grad (e.g. the GAN adaptive weight)."""
+    import os
+
     orig_dtype = x.dtype
-    if cast_fp32:
+    # Native-dtype reads for the bf16 path (round 5): the GroupNorm32-style
+    # ``x.astype(f32)`` upcast BEFORE the stats/apply makes XLA materialize
+    # an fp32 copy of the activation (the convert fuses into the producer
+    # conv's epilogue, so the conv writes 2x the bytes and both the stats
+    # and the apply re-read them at 2x) — the round-5 train-step trace
+    # shows the frozen-encoder 256^2 stat fusions reading f32 (512-768
+    # MiB/site at ~220 GB/s realized, docs/r5_chip/profile_train_b16_
+    # step.txt). Instead keep x in its native dtype: the stats accumulate
+    # in fp32 FROM bf16 reads (sum(dtype=f32); square via an exact
+    # bf16->f32 convert that fuses into the reduce), and the apply's
+    # promotion (bf16 x times f32 scale) converts x inline inside the
+    # multiply-add fusion — the math is still fp32 end-to-end (converts
+    # are exact), only the HBM reads shrink to native width. fp32 inputs
+    # are bit-exact unchanged. Off until measured in-program (the round-4
+    # standard); opt in via FRIDO_GN_STATS_NATIVE=1.
+    native_stats = (
+        cast_fp32 and x.dtype != jnp.float32
+        and os.environ.get("FRIDO_GN_STATS_NATIVE", "0") == "1")
+    if cast_fp32 and not native_stats:
         x = x.astype(jnp.float32)
     shape = x.shape
     n, c = shape[0], shape[-1]
@@ -92,8 +112,13 @@ def group_norm_jnp(
     count = cg
     for s in shape[1:-1]:
         count *= s
-    s1 = x.sum(axis=spatial_axes)        # [N, C]
-    s2 = (x * x).sum(axis=spatial_axes)  # [N, C]
+    if native_stats:
+        s1 = jnp.sum(x, axis=spatial_axes, dtype=jnp.float32)  # [N, C]
+        s2 = jnp.sum(jnp.square(x.astype(jnp.float32)),
+                     axis=spatial_axes)                        # [N, C]
+    else:
+        s1 = x.sum(axis=spatial_axes)        # [N, C]
+        s2 = (x * x).sum(axis=spatial_axes)  # [N, C]
     mean = s1.reshape(n, num_groups, cg).sum(-1) / count   # [N, G]
     m2 = s2.reshape(n, num_groups, cg).sum(-1) / count
     var = jnp.maximum(m2 - mean * mean, 0.0)
@@ -104,8 +129,11 @@ def group_norm_jnp(
         .reshape(n, c)
     mean_c = jnp.broadcast_to(mean[:, :, None], (n, num_groups, cg)) \
         .reshape(n, c)
-    w = inv_c * scale.astype(x.dtype)[None, :]             # [N, C]
-    b = bias.astype(x.dtype)[None, :] - mean_c * w
+    # stat/affine math stays fp32 whenever cast_fp32 asked for it (the
+    # [N, C] vectors are tiny); only the big-tensor apply reads x native
+    stat_dtype = jnp.float32 if cast_fp32 else x.dtype
+    w = inv_c * scale.astype(stat_dtype)[None, :]          # [N, C]
+    b = bias.astype(stat_dtype)[None, :] - mean_c * w
     bshape = (n,) + (1,) * len(spatial_axes) + (c,)
     x = x * w.reshape(bshape) + b.reshape(bshape)
     if fuse_silu:
