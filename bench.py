@@ -231,6 +231,7 @@ def run_bench() -> dict:
             )._conv_mode(),
             "pallas": os.environ.get("FRIDO_PALLAS", "1"),
             "flash": os.environ.get("FRIDO_FLASH", "1"),
+            "gn_stats_native": os.environ.get("FRIDO_GN_STATS_NATIVE", "0"),
             "decode_chunk": decode_chunk,
             "repeats": repeats,
             "times_s": [round(t, 3) for t in times],

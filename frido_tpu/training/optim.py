@@ -80,12 +80,21 @@ def build_optimizer(learning_rate: float,
                     scheduler: Optional[Any] = None,
                     weight_decay: float = 0.01,
                     b1: float = 0.9, b2: float = 0.999,
-                    accumulate_grad_batches: int = 1) -> optax.GradientTransformation:
+                    accumulate_grad_batches: int = 1,
+                    mu_dtype: Optional[Any] = None) -> optax.GradientTransformation:
     """AdamW (torch defaults: wd=0.01) with optional per-step LR lambda and
-    gradient accumulation via optax.MultiSteps."""
+    gradient accumulation via optax.MultiSteps.
+
+    mu_dtype: store the Adam first moment in this dtype (``jnp.bfloat16``
+    halves its HBM footprint, −1.27 GB on the 679M-trainable flagship —
+    the round-5 lever that fits the batch-32 remat step, which OOMs by
+    236 MB with fp32 moments). The second moment and master params stay
+    fp32. Default None = fp32, matching the reference's torch AdamW
+    (``frido.py:1592-1614``) bit-for-bit."""
     lr = (_JaxLambdaLR(learning_rate, scheduler)
           if scheduler is not None else learning_rate)
-    tx = optax.adamw(lr, b1=b1, b2=b2, weight_decay=weight_decay)
+    tx = optax.adamw(lr, b1=b1, b2=b2, weight_decay=weight_decay,
+                     mu_dtype=mu_dtype)
     if accumulate_grad_batches > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulate_grad_batches)
     return tx

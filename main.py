@@ -71,6 +71,12 @@ def get_parser():
                    help="mixed-precision training: bf16 UNet fwd/bwd with "
                         "fp32 master params/optimizer (the reference's fp16 "
                         "flag is a no-op; fp32 remains the parity default)")
+    p.add_argument("--adam_mu_bf16", type=str2bool, default=False,
+                   nargs="?", const=True,
+                   help="store the Adam first moment in bf16 (-1.27 GB "
+                        "HBM on the flagship; fits the batch-32 remat "
+                        "step — see docs/PERF.md). Default fp32 matches "
+                        "the reference's torch AdamW exactly.")
     p.add_argument("--fsdp", type=str2bool, default=False, nargs="?",
                    const=True,
                    help="shard params/optimizer/EMA over the data axis "
@@ -267,7 +273,8 @@ def _main(args, unknown):
     print(f"Setting learning rate to {lr:.2e}")
     sched_cfg = mp.get("scheduler_config")
     tx = optim.build_from_config(
-        lr, sched_cfg, accumulate_grad_batches=args.accumulate_grad_batches)
+        lr, sched_cfg, accumulate_grad_batches=args.accumulate_grad_batches,
+        mu_dtype=jnp.bfloat16 if args.adam_mu_bf16 else None)
     state, masked_tx = trainer.create_train_state(model, params, tx)
 
     sf_path = os.path.join(ckptdir, "scale_factors.json")

@@ -137,7 +137,11 @@ def main():
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         params = model.init_params(jax.random.PRNGKey(0), context_len=77)
-    tx = optim.build_optimizer(1e-4)
+    # BENCH_MU_DTYPE=bf16 stores the Adam first moment in bf16 (-1.27 GB
+    # state; see optim.build_optimizer) — the batch-32 remat enabler
+    mu = (jnp.bfloat16
+          if os.environ.get("BENCH_MU_DTYPE", "") == "bf16" else None)
+    tx = optim.build_optimizer(1e-4, mu_dtype=mu)
     state, masked_tx = trainer.create_train_state(model, params, tx)
     state = jax.device_put(state, jax.devices()[0])
     step_fn = jax.jit(
@@ -161,7 +165,8 @@ def main():
         chain=chain)
     report(f"t2i f16f8 train step imgs/sec/chip"
            f"{' (remat)' if remat else ''}"
-           f"{' (bf16)' if bf16 else ''}", batch, best, chain)
+           f"{' (bf16)' if bf16 else ''}"
+           f"{' (mu=bf16)' if mu is not None else ''}", batch, best, chain)
 
 
 if __name__ == "__main__":

@@ -113,6 +113,34 @@ def test_groupnorm_matches_torch(eps):
     np.testing.assert_allclose(j2t_nchw(y), ref, atol=2e-5)
 
 
+def test_groupnorm_native_stats_equivalence(monkeypatch):
+    """FRIDO_GN_STATS_NATIVE=1 reads bf16 activations natively for the
+    fp32 stats/apply (saves the materialized fp32 copy the round-5 train
+    trace found at the 256^2 encoder sites) — the math is fp32 either way
+    (bf16->f32 converts are exact), so both paths must agree bit-for-bit
+    on bf16 inputs and the fp32 path must be untouched."""
+    from frido_tpu.ops.norm import group_norm_jnp
+
+    x32 = RNG.randn(2, 8, 8, 64).astype(np.float32)
+    w = RNG.randn(64).astype(np.float32)
+    b = RNG.randn(64).astype(np.float32)
+    xb = jnp.asarray(x32).astype(jnp.bfloat16)
+
+    monkeypatch.setenv("FRIDO_GN_STATS_NATIVE", "0")
+    old_b = np.asarray(group_norm_jnp(
+        xb, jnp.asarray(w), jnp.asarray(b)).astype(jnp.float32))
+    old_f = np.asarray(group_norm_jnp(
+        jnp.asarray(x32), jnp.asarray(w), jnp.asarray(b)))
+    monkeypatch.setenv("FRIDO_GN_STATS_NATIVE", "1")
+    new_b = np.asarray(group_norm_jnp(
+        xb, jnp.asarray(w), jnp.asarray(b)).astype(jnp.float32))
+    new_f = np.asarray(group_norm_jnp(
+        jnp.asarray(x32), jnp.asarray(w), jnp.asarray(b)))
+
+    assert (old_b == new_b).all()        # bf16 path: exact agreement
+    assert (old_f == new_f).all()        # fp32 path: flag is a no-op
+
+
 def test_layernorm_matches_torch():
     x = RNG.randn(2, 5, 16).astype(np.float32)
     w = RNG.randn(16).astype(np.float32)

@@ -79,6 +79,39 @@ def test_train_step_runs_and_freezes_first_stage(diffusion_model):
     assert full["params"]["model"] is s1.ema_params
 
 
+def test_mu_bf16_train_step(diffusion_model):
+    """Adam first moment in bf16 (optim.build_optimizer(mu_dtype=...),
+    main.py --adam_mu_bf16): -1.27 GB of optimizer state on the flagship
+    (the batch-32 remat enabler, docs/PERF.md). The moment buffers must
+    actually be bf16, only for TRAINABLE leaves, and a step's updated
+    params must track the fp32-moment step closely."""
+    model, params = diffusion_model
+    batch = {"image": jnp.asarray(
+        np.random.RandomState(0).randn(2, 32, 32, 3), jnp.float32),
+        "tokens": jnp.asarray(
+            np.random.RandomState(1).randint(0, 32, (2, 8)))}
+
+    def one_step(mu_dtype):
+        tx = optim.build_optimizer(1e-3, mu_dtype=mu_dtype)
+        state, masked = trainer.create_train_state(model, params, tx)
+        if mu_dtype is not None:
+            mu = state.opt_state.inner_states["train"].inner_state[0].mu
+            leaves = [x for x in jax.tree.leaves(mu)
+                      if hasattr(x, "dtype")]
+            assert leaves and all(x.dtype == mu_dtype for x in leaves)
+        step = jax.jit(trainer.make_train_step(model, masked,
+                                               use_ema=False))
+        s1, logs = step(state, batch, jax.random.PRNGKey(0))
+        return (s1.params["params"]["model"]["diffusion_model"]
+                ["time_embed__0"]["kernel"], float(logs["loss"]))
+
+    k32, l32 = one_step(None)
+    kb, lb = one_step(jnp.bfloat16)
+    assert l32 == lb  # loss is computed before the moment rounding
+    np.testing.assert_allclose(np.asarray(kb), np.asarray(k32),
+                               atol=1e-5, rtol=1e-3)
+
+
 def test_train_loss_decreases(diffusion_model):
     model, params = diffusion_model
     tx = optim.build_optimizer(2e-3)
