@@ -51,6 +51,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import subprocess
 import sys
 import time
@@ -281,6 +282,19 @@ def orchestrate() -> int:
                      if l.startswith("{")), None)
         if r.returncode == 0 and line is not None:
             print(line)
+            return 0
+        # deterministic compile OOM: retrying the identical program is
+        # pure wasted chip time (round 5 burned 2x ~13-min compiles
+        # re-proving a 97 MB OOM) — report it as its own error class
+        oom = re.search(r"Exceeded hbm capacity by [0-9.]+[MG]",
+                        r.stderr or "")
+        if oom:
+            print(json.dumps({
+                "metric": _metric_name(), "value": None, "unit": "img/s",
+                "vs_baseline": None, "error": "hbm_oom",
+                "detail": f"XLA compile OOM ({oom.group(0)}) — "
+                          "deterministic for this config, not retried",
+            }))
             return 0
         tail = (r.stderr or r.stdout or "").strip().splitlines()[-3:]
         diag.append(f"bench[{i}]: rc={r.returncode}: " + " | ".join(tail))
