@@ -129,11 +129,16 @@ def inception_logits(images: np.ndarray, batch: int = 32) -> np.ndarray:
                                  want_logits=True)
 
 
-def logits_from_features(features: np.ndarray) -> np.ndarray:
+def logits_from_features(features: np.ndarray,
+                         params: Optional[dict] = None) -> np.ndarray:
     """Classifier logits from already-computed pool3 features — the fc head
     is a plain affine map, so callers that have features (e.g. from a FID
-    pass) get IS logits without a second tower forward."""
-    fc = _inception_params()["fc"]
+    pass) get IS logits without a second tower forward.
+
+    ``params``: an explicit inception params pytree (as returned by
+    ``inception.import_torch_state_dict``); default loads from
+    ``FRIDO_TPU_INCEPTION`` via the path-keyed cache."""
+    fc = (params if params is not None else _inception_params())["fc"]
     return features @ np.asarray(fc["w"]) + np.asarray(fc["b"])
 
 

@@ -53,20 +53,21 @@ def test_logits_parity(pair):
     np.testing.assert_allclose(ours, theirs, atol=2e-3)
 
 
-def test_logits_from_features_matches_tower(pair, monkeypatch):
+def test_logits_from_features_matches_tower(pair):
     """The host-side fc head over cached pool3 features (used by
     scripts/eval_fid.py --inception_score to avoid a second tower pass)
-    must equal the full want_logits tower output."""
+    must equal the full want_logits tower output. Passes the params
+    explicitly — the env-loaded path needs the real FRIDO_TPU_INCEPTION
+    asset, absent on this box."""
     import frido_tpu.eval.fid as fid_mod
 
     params, _ = pair
-    monkeypatch.setattr(fid_mod, "_INCEPTION_PARAMS", params)
     imgs = _rand_images(7, n=3)
     feats = np.asarray(
         inception.features(params, jnp.asarray(imgs * 2.0 - 1.0)))
     full = np.asarray(inception.logits(params, jnp.asarray(imgs * 2.0 - 1.0)))
     np.testing.assert_allclose(
-        fid_mod.logits_from_features(feats), full, atol=1e-4)
+        fid_mod.logits_from_features(feats, params=params), full, atol=1e-4)
 
 
 def test_preprocess_matches_torch_interpolate(pair):
