@@ -141,20 +141,24 @@ def run_bench() -> dict:
               f"BENCH_DECODE_CHUNK={decode_chunk}; decode runs unchunked "
               f"(full-batch decoder HBM peak)", file=sys.stderr)
 
-    from frido_tpu.config import load_yaml
-    from frido_tpu.models.frido import FridoDiffusion
+    from frido_tpu.config import instantiate_from_config, load_yaml
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    cfg_path = os.environ.get(
-        "BENCH_CONFIG", os.path.join(repo, _TASK_CONFIGS[_task()]))
-    cfg = load_yaml(cfg_path)["model"]["params"]
-    model = FridoDiffusion(
-        first_stage_config=cfg["first_stage_config"],
-        cond_stage_config=cfg["cond_stage_config"],
-        unet_config=cfg["unet_config"],
-        **{k: v for k, v in cfg.items()
-           if k not in ("first_stage_config", "cond_stage_config",
-                        "unet_config")})
+    cfg_path = os.environ.get("BENCH_CONFIG")
+    if cfg_path is None:
+        # only resolved when BENCH_CONFIG is absent — an unknown
+        # BENCH_TASK with an explicit config must not KeyError (it would
+        # burn 3 orchestrator retries misclassified as a tunnel failure)
+        if _task() not in _TASK_CONFIGS:
+            raise SystemExit(
+                f"unknown BENCH_TASK={_task()!r} and no BENCH_CONFIG set; "
+                f"known tasks: {sorted(_TASK_CONFIGS)}")
+        cfg_path = os.path.join(repo, _TASK_CONFIGS[_task()])
+    model_cfg = load_yaml(cfg_path)["model"]
+    cfg = model_cfg["params"]
+    # same path main.py uses: the reference target string resolves to
+    # frido_tpu.models.frido.FridoDiffusion via the config aliases
+    model = instantiate_from_config(model_cfg)
     # raw-token conditioning (layout2i/label2i) has a config max_seq_len;
     # the t2i tokenizer path is fixed at the 77-token BERT window
     ctx_len = cfg["cond_stage_config"]["params"].get("max_seq_len", 77)
@@ -213,14 +217,17 @@ def run_bench() -> dict:
         # vs_baseline divides by a LOWER bound on V100 throughput derived
         # from README.md:242 ("within 1 hour"), so this is an UPPER bound
         # on the true multiple — see module docstring. The anchor is the
-        # t2i mini-eval claim; for other tasks no comparable V100 runtime
-        # claim exists, so vs_baseline is null there.
+        # t2i mini-eval claim measured on the DEFAULT t2i config; for
+        # other tasks, or an arbitrary BENCH_CONFIG override (whose model
+        # the anchor knows nothing about), it is null.
         "vs_baseline": (round(ips / V100_EST_IMG_PER_S, 3)
-                        if _task() == "t2i" else None),
+                        if _task() == "t2i"
+                        and "BENCH_CONFIG" not in os.environ else None),
         # provenance: the resolved configuration this number was measured
         # under (VERDICT r3 #3 — bench artifacts must be self-describing)
         "config": {
             "task": _task(),
+            "config_path": os.path.relpath(cfg_path, repo),
             "batch": batch,
             "steps": steps,
             "sampler": sampler,
@@ -286,7 +293,7 @@ def orchestrate() -> int:
         # deterministic compile OOM: retrying the identical program is
         # pure wasted chip time (round 5 burned 2x ~13-min compiles
         # re-proving a 97 MB OOM) — report it as its own error class
-        oom = re.search(r"Exceeded hbm capacity by [0-9.]+[MG]",
+        oom = re.search(r"Exceeded hbm capacity by [0-9.]+[KMG]?",
                         r.stderr or "")
         if oom:
             print(json.dumps({

@@ -218,7 +218,12 @@ class SpatialTransformer(nn.Module):
                                   name=f"transformer_blocks__{d}")
             for d in range(self.depth)
         ]
-        self.proj_out = Conv2d(self.in_channels, 1, name="proj_out")
+        # zero-init like the reference's zero_module(proj_out)
+        # (attention.py:277) — the transformer branch starts as identity;
+        # was missed until round 5 (from-scratch training dynamics only;
+        # checkpoint import overwrites the init either way)
+        self.proj_out = Conv2d(self.in_channels, 1, zero_init=True,
+                               name="proj_out")
         if self.use_mscond:
             self.cond_proj_in = Conv2d(inner, 1, name="cond_proj_in")
 

@@ -121,18 +121,12 @@ def main():
         return bench_msvqgan(batch, repeats, bf16)
 
     import __graft_entry__ as g
-    from frido_tpu.config import load_yaml
-    from frido_tpu.models.frido import FridoDiffusion
+    from frido_tpu.config import instantiate_from_config, load_yaml
     from frido_tpu.training import optim, trainer
 
     cfg = load_yaml(g.FLAGSHIP_CONFIG)["model"]["params"]
-    model = FridoDiffusion(
-        first_stage_config=cfg["first_stage_config"],
-        cond_stage_config=cfg["cond_stage_config"],
-        unet_config=cfg["unet_config"],
-        **{k: v for k, v in cfg.items()
-           if k not in ("first_stage_config", "cond_stage_config",
-                        "unet_config")})
+    # same construction path as main.py (target-alias resolution)
+    model = instantiate_from_config(load_yaml(g.FLAGSHIP_CONFIG)["model"])
 
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):

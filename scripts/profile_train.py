@@ -174,7 +174,7 @@ def main():
         return profile_msvqgan(args)
 
     import __graft_entry__ as g
-    from frido_tpu.config import load_yaml
+    from frido_tpu.config import instantiate_from_config, load_yaml
     from frido_tpu.models.frido import FridoDiffusion
     from frido_tpu.training import optim, trainer
     from frido_tpu.utils.compilation_cache import enable as enable_cache
@@ -190,14 +190,8 @@ def main():
             unet_config=g._TINY_UNET, **g._TINY_MODEL)
         ctx_len, img_side = 12, 32
     else:
-        cfg = load_yaml(g.FLAGSHIP_CONFIG)["model"]["params"]
-        model = FridoDiffusion(
-            first_stage_config=cfg["first_stage_config"],
-            cond_stage_config=cfg["cond_stage_config"],
-            unet_config=cfg["unet_config"],
-            **{k: v for k, v in cfg.items()
-               if k not in ("first_stage_config", "cond_stage_config",
-                            "unet_config")})
+        # same construction path as main.py (target-alias resolution)
+        model = instantiate_from_config(load_yaml(g.FLAGSHIP_CONFIG)["model"])
         ctx_len, img_side = 77, 256
     with jax.default_device(jax.devices("cpu")[0]):
         params = model.init_params(jax.random.PRNGKey(0),

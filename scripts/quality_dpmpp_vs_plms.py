@@ -58,7 +58,7 @@ def main():
     args = ap.parse_args()
 
     import __graft_entry__ as g
-    from frido_tpu.config import load_yaml
+    from frido_tpu.config import instantiate_from_config, load_yaml
     from frido_tpu.models.frido import FridoDiffusion
     from frido_tpu.utils.compilation_cache import enable as enable_cache
 
@@ -67,35 +67,68 @@ def main():
         model = FridoDiffusion(
             first_stage_config=g._TINY_FIRST, cond_stage_config=g._TINY_COND,
             unet_config=g._TINY_UNET, **g._TINY_MODEL)
-        ctx_len = 12
+        ctx_len, vocab = 12, g._TINY_COND["params"]["vocab_size"]
     else:
-        cfg = load_yaml(g.FLAGSHIP_CONFIG)["model"]["params"]
-        model = FridoDiffusion(
-            first_stage_config=cfg["first_stage_config"],
-            cond_stage_config=cfg["cond_stage_config"],
-            unet_config=cfg["unet_config"],
-            **{k: v for k, v in cfg.items()
-               if k not in ("first_stage_config", "cond_stage_config",
-                            "unet_config")})
-        ctx_len = 77
+        # same construction path as main.py (target-alias resolution)
+        model = instantiate_from_config(load_yaml(g.FLAGSHIP_CONFIG)["model"])
+        ctx_len, vocab = 77, 30522  # BERT WordPiece vocab
     with jax.default_device(jax.devices("cpu")[0]):
         params = model.init_params(jax.random.PRNGKey(0),
                                    context_len=ctx_len)
+
+    # Liven the zero-init projections (round-5 discovery): the reference
+    # zero-inits every SpatialTransformer proj_out and ResBlock out-conv
+    # (attention.py:277 / pyunet zero_module), so at RANDOM INIT the
+    # whole attention branch — and with it the cond/uncond eps difference,
+    # i.e. CFG itself — is exactly zero: the first version of this
+    # artifact was bit-identical with and without guidance. Replacing the
+    # zero kernels with small noise makes the context path (and the
+    # guided ODE stiffening this evidence must exercise) live.
+    import zlib
+
+    def liven(tree, path=()):
+        out = {}
+        for k, v in tree.items():
+            p = path + (k,)
+            if isinstance(v, dict):
+                out[k] = liven(v, p)
+            elif (hasattr(v, "shape") and v.ndim >= 2
+                    and float(jnp.abs(v).max()) == 0.0):
+                # crc32 of the path, NOT hash(): hash is PYTHONHASHSEED-
+                # salted per process and PLMS on a random ODE field is
+                # seed-sensitive — the artifact must be reproducible
+                key = jax.random.PRNGKey(zlib.crc32("/".join(p).encode()))
+                out[k] = 0.02 * jax.random.normal(key, v.shape, v.dtype)
+            else:
+                out[k] = v
+        return out
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = {"params": liven(params["params"])}
     params = jax.device_put(params, jax.devices()[0])
 
     B = args.batch
     lat = model.image_size
-    tokens = jnp.zeros((B, ctx_len), jnp.int32)
+    # DISTINCT cond/uncond contexts: random nonzero tokens vs the all-zero
+    # "empty caption" — with identical contexts guidance_scale is a
+    # mathematical no-op (e_u + s*(e_c - e_u) = e_c), and CFG > 1 is
+    # exactly the stiffened-ODE regime where low-step solvers degrade
+    # most, i.e. the regime the 25.6 img/s serving row actually runs
+    # (caught in round-5 review; the first artifact measured unguided)
+    tokens = jnp.asarray(np.random.RandomState(7).randint(
+        1, min(1000, vocab), (B, ctx_len)), jnp.int32)
+    utokens = jnp.zeros((B, ctx_len), jnp.int32)
     # the SAME initial noise for every sampler run — the agreement being
     # measured is between deterministic (eta=0) solvers of one ODE
     x_T = jax.random.normal(jax.random.PRNGKey(42),
                             (B, lat, lat, model.channels), jnp.float32)
 
     def run(sampler: str, steps: int):
-        def pipeline(params, tokens, x_T):
+        def pipeline(params, tokens, utokens, x_T):
             ctx = model.get_learned_conditioning(params, tokens)
+            uctx = model.get_learned_conditioning(params, utokens)
             z = model.sample(params, jax.random.PRNGKey(0), B, context=ctx,
-                             uncond_context=ctx, steps=steps, eta=0.0,
+                             uncond_context=uctx, steps=steps, eta=0.0,
                              guidance_scale=1.5, sampler=sampler,
                              x_T=x_T, compute_dtype=jnp.bfloat16,
                              cfg_mode="sequential")
@@ -103,7 +136,7 @@ def main():
                 params, z, chunk=min(32, B) if B > 32 else None)
             return z, img
 
-        z, img = jax.jit(pipeline)(params, tokens, x_T)
+        z, img = jax.jit(pipeline)(params, tokens, utokens, x_T)
         return np.asarray(jax.device_get(z)), np.asarray(jax.device_get(img))
 
     # tiny graft model has timesteps=100, so the flagship 200/100/25 step
@@ -116,6 +149,8 @@ def main():
     z_range = float(z_plms.max() - z_plms.min())
     out = {
         "metric": "DPM++(2M)-25 vs PLMS-200 flagship agreement",
+        "cfg": "guided (1.5, distinct uncond context, zero-init "
+               "projections livened so the context path is nonzero)",
         "batch": B,
         "model": "tiny" if args.tiny else "flagship t2i f16f8 (random init)",
         "latent_psnr_db": round(psnr(z_dpm, z_plms, z_range), 2),

@@ -12,13 +12,14 @@ run() {
   timeout 1500 env BENCH_BATCH=$batch BENCH_REMAT=$remat BENCH_BF16=1 \
     BENCH_CHAIN=$chain BENCH_REPEATS=3 \
     python scripts/bench_train.py 2>>"${LOG%.log}.err" | tee -a "$LOG"
-  local rc=$?
-  if [ $rc -ne 0 ]; then
+  # PIPESTATUS[0] is python's status — plain $? would read tee's (always
+  # 0) and silently skip both the error record and the wedge drain
+  local rc=${PIPESTATUS[0]}
+  if [ "$rc" -ne 0 ]; then
     echo "{\"error\": \"exit=$rc (timeout/OOM)\", \"batch\": $batch, \"remat\": $remat}" | tee -a "$LOG"
     sleep 60  # let a potential tunnel wedge drain before the next point
   fi
 }
-for args in "$@"; do :; done
 run 16 0 4
 run 24 0 4
 run 32 0 4

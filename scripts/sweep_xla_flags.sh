@@ -17,8 +17,12 @@ MODE=${1:-train}   # train | sample
 OUT=${2:-docs/r5_chip/xla_flags_${MODE}.log}
 cd "$(dirname "$0")/.."
 
-# Flag names are validated client-side first (scripts/validate_xla_flags.py
-# writes the usable subset here); unknown flags hard-error at startup.
+# NOTE (round-5 finding, docs/PERF.md "XLA flag space"): the xla_tpu_*
+# tuning flags below are CLIENT-UNREACHABLE under the axon tunnel — the
+# client flag parser hard-rejects them at startup, so on this box every
+# non-baseline point exits nonzero and gets an error record. The sweep
+# is kept for environments with a local libtpu where the namespace
+# parses; validate candidates first with a tiny matmul per flag.
 declare -a NAMES=(
   baseline
   latency_hiding
@@ -43,6 +47,6 @@ for i in "${!NAMES[@]}"; do
     timeout 3000 env XLA_FLAGS="$flags" LIBTPU_INIT_ARGS="$flags" \
       python bench.py 2>>"${OUT%.log}.err" | tee -a "$OUT"
   fi
-  rc=$?
-  [ $rc -ne 0 ] && { echo "{\"error\": \"exit=$rc\", \"point\": \"$name\"}" | tee -a "$OUT"; sleep 60; }
+  rc=${PIPESTATUS[0]}  # python's status, not tee's
+  [ "$rc" -ne 0 ] && { echo "{\"error\": \"exit=$rc\", \"point\": \"$name\"}" | tee -a "$OUT"; sleep 60; }
 done
